@@ -1,0 +1,91 @@
+"""fourier-tpu: a TPU-native FFT framework.
+
+From-scratch JAX/XLA/Pallas rebuild of the capability surface of the Rust
+``fourier`` crate (see SURVEY.md): complex-to-complex 1-D FFTs of any size —
+mixed-radix Stockham autosort (radix 2/3/4/8) for 2^a*3^b sizes, Bluestein
+chirp-z for everything else — five normalization modes, plan-then-execute API,
+batched transforms, and (net-new for TPU) pod-sharded multi-chip FFTs.
+
+Public surface mirrors ``fourier/src/lib.rs:24-60``: ``create_fft_f32`` /
+``create_fft_f64`` planners, the ``Transform`` mode enum, and plan objects
+exposing ``fft`` / ``ifft`` / ``transform``. Because this TPU backend has no
+complex dtype support, the canonical on-device representation is planar
+(re, im) float planes — ``plan.transform_planar`` / ``fft_planar`` — with
+complex arrays accepted at the host/CPU boundary for convenience.
+"""
+
+from __future__ import annotations
+
+import numpy as _np
+
+from fourier_tpu.plan import (
+    AutosortPlan,
+    BluesteinPlan,
+    FftPlan,
+    clear_plan_cache,
+    create_fft,
+    create_fft_f32,
+    create_fft_f64,
+)
+from fourier_tpu.transform import Transform
+
+__version__ = "0.1.0"
+
+
+def _plan_for(n: int, dtype):
+    if dtype is None:
+        dtype = _np.complex64
+    return create_fft(n, dtype)
+
+
+def transform(x, mode: Transform, dtype=None):
+    """Plan-and-run a transform over the last axis of a complex array."""
+    x = x if hasattr(x, "shape") else _np.asarray(x)
+    if dtype is None and hasattr(x, "dtype") and x.dtype in (
+        _np.complex64,
+        _np.complex128,
+    ):
+        dtype = x.dtype
+    return _plan_for(x.shape[-1], dtype).transform(x, mode)
+
+
+def fft(x, dtype=None):
+    """Forward FFT over the last axis (plans implicitly, cached per size)."""
+    return transform(x, Transform.FFT, dtype)
+
+
+def ifft(x, dtype=None):
+    """Scaled (1/N) inverse FFT over the last axis."""
+    return transform(x, Transform.IFFT, dtype)
+
+
+def transform_planar(re, im, mode: Transform, dtype=None):
+    """Planar plan-and-run: the TPU-native convenience entry point."""
+    return _plan_for(re.shape[-1], dtype).transform_planar(re, im, mode)
+
+
+def fft_planar(re, im, dtype=None):
+    return transform_planar(re, im, Transform.FFT, dtype)
+
+
+def ifft_planar(re, im, dtype=None):
+    return transform_planar(re, im, Transform.IFFT, dtype)
+
+
+__all__ = [
+    "AutosortPlan",
+    "BluesteinPlan",
+    "FftPlan",
+    "Transform",
+    "clear_plan_cache",
+    "create_fft",
+    "create_fft_f32",
+    "create_fft_f64",
+    "fft",
+    "fft_planar",
+    "ifft",
+    "ifft_planar",
+    "transform",
+    "transform_planar",
+    "__version__",
+]

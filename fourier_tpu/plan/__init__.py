@@ -1,0 +1,23 @@
+from fourier_tpu.plan.autosort import AutosortPlan
+from fourier_tpu.plan.base import FftPlan
+from fourier_tpu.plan.bluestein import BluesteinPlan
+from fourier_tpu.plan.factor import RADICES, factorize_autosort, next_power_of_two
+from fourier_tpu.plan.planner import (
+    clear_plan_cache,
+    create_fft,
+    create_fft_f32,
+    create_fft_f64,
+)
+
+__all__ = [
+    "AutosortPlan",
+    "BluesteinPlan",
+    "FftPlan",
+    "RADICES",
+    "clear_plan_cache",
+    "create_fft",
+    "create_fft_f32",
+    "create_fft_f64",
+    "factorize_autosort",
+    "next_power_of_two",
+]

@@ -1,0 +1,122 @@
+"""The plan interface: plan-then-execute, the TPU-native ``Fft`` trait.
+
+The reference's execution interface is ``trait Fft`` (``fft.rs:40-82``): a plan
+object exposing ``size()``, in-place/out-of-place transforms, and fft/ifft
+conveniences. In a functional JAX framework "in-place" has no meaning, so the
+TPU-native shape of the same contract is: a plan is an **immutable pytree of
+precomputed constants** (planar twiddle tables + static stage structure), and
+execution is a **pure jit-compiled function** mapping over arbitrary leading
+batch dimensions — the capability the reference exposes one transform at a time,
+widened to the batched regime TPUs want.
+
+Because this TPU backend has no complex dtype support at all, the canonical
+execution API is planar: ``(re, im) = plan.transform_planar(re, im, mode)`` on
+real float planes. ``plan.transform(x, mode)`` is the complex-dtype convenience
+that splits/recombines at the host/CPU boundary.
+
+Plans are registered pytrees: they pass through ``jax.jit`` / ``jax.vmap`` /
+``shard_map`` like any container of arrays; jit caches compiled executables per
+plan structure (size/stage layout are static metadata).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fourier_tpu.transform import Transform
+
+
+@functools.partial(jax.jit, static_argnames=("transform",))
+def _execute(plan, re, im, transform: Transform):
+    return plan._apply(re, im, transform)
+
+
+class FftPlan:
+    """Base class for FFT plans (``trait Fft`` analog, ``fft.rs:40-82``)."""
+
+    size: int
+    dtype: np.dtype  # conceptual complex dtype (complex64 / complex128)
+
+    # -- planar execution (the TPU-native path) ---------------------------
+
+    def _apply(self, re, im, transform: Transform):
+        raise NotImplementedError
+
+    def transform_planar(
+        self, re, im, transform: Transform = Transform.FFT
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Apply a transform over the last axis of planar (re, im) planes.
+
+        Shapes (..., size); leading axes are batch dimensions. This is the
+        jit-native, TPU-safe path.
+        """
+        re = jnp.asarray(re)
+        im = jnp.asarray(im)
+        if re.shape != im.shape:
+            raise ValueError(f"re/im shapes differ: {re.shape} vs {im.shape}")
+        if re.shape[-1] != self.size:
+            raise ValueError(
+                f"last axis of input has length {re.shape[-1]}, "
+                f"but plan size is {self.size}"
+            )
+        rt = self.real_dtype
+        if re.dtype != rt:
+            re = re.astype(rt)
+        if im.dtype != rt:
+            im = im.astype(rt)
+        return _execute(self, re, im, Transform(transform))
+
+    # -- complex convenience (host/CPU boundary) --------------------------
+
+    def transform(self, x, transform: Transform = Transform.FFT):
+        """Out-of-place transform on a complex array (``Fft::transform``,
+        ``fft.rs:51-61``).
+
+        Accepts numpy or JAX complex arrays of shape (..., size). The split
+        into planar planes happens host-side (numpy) or on a backend with
+        complex support (CPU); the compute itself is always planar. Returns
+        the same array kind as the input.
+        """
+        if isinstance(x, jax.Array):
+            re, im = jnp.real(x), jnp.imag(x)
+            ore, oim = self.transform_planar(re, im, transform)
+            return ore + 1j * oim  # requires a complex-capable backend (CPU)
+        x = np.asarray(x)
+        if not np.issubdtype(x.dtype, np.complexfloating):
+            x = x.astype(self.dtype)
+        ore, oim = self.transform_planar(np.real(x), np.imag(x), transform)
+        return (np.asarray(ore) + 1j * np.asarray(oim)).astype(self.dtype)
+
+    def __call__(self, x, transform: Transform = Transform.FFT):
+        return self.transform(x, transform)
+
+    def fft(self, x):
+        """Forward FFT (``fft.rs:74-76``)."""
+        return self.transform(x, Transform.FFT)
+
+    def ifft(self, x):
+        """Scaled (1/N) inverse FFT (``fft.rs:79-81``)."""
+        return self.transform(x, Transform.IFFT)
+
+    def fft_planar(self, re, im):
+        return self.transform_planar(re, im, Transform.FFT)
+
+    def ifft_planar(self, re, im):
+        return self.transform_planar(re, im, Transform.IFFT)
+
+    # -- metadata ----------------------------------------------------------
+
+    def __len__(self) -> int:
+        return self.size
+
+    @property
+    def real_dtype(self) -> np.dtype:
+        return np.dtype(np.float32 if self.dtype == np.complex64 else np.float64)
+
+    def _scale_for(self, transform: Transform) -> Optional[float]:
+        return transform.scale(self.size)
