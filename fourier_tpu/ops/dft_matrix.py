@@ -1,0 +1,57 @@
+"""Dense DFT matrix + split-twiddle generation for the MXU execution path.
+
+The reference computes FFTs butterfly-by-butterfly on AVX lanes; on TPU the
+systolic MXU is ~10-20x the VPU's f32 throughput, so the TPU-native hot path
+(see ops/pallas/bailey.py) evaluates sub-DFTs as dense matmuls: n = n1*n2 with
+n1, n2 <= 128, each phase a (<=128 x <=128) DFT matrix contraction, glued by
+the dense split twiddle W_N^(a*k2). Everything here is plan-time f64 numpy
+(the reference's plan/execute split, ``twiddle.rs:9-13``), narrowed to planar
+f32/f64 pairs.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+def dft_matrix(n: int, forward: bool) -> np.ndarray:
+    """Dense (n, n) DFT matrix D[k, j] = W_n^(±k*j), complex128."""
+    k = np.arange(n, dtype=np.float64)[:, None]
+    j = np.arange(n, dtype=np.float64)[None, :]
+    theta = 2.0 * np.pi * (k * j) / float(n)
+    d = np.cos(theta) - 1j * np.sin(theta)
+    return d if forward else np.conj(d)
+
+
+def split_twiddle(n1: int, n2: int, forward: bool) -> np.ndarray:
+    """Dense (n2, n1) glue twiddle T[k2, a] = W_(n1*n2)^(±a*k2), complex128.
+
+    The four-step middle factor: X[k1*n2 + k2] =
+    sum_a W_n1^(a*k1) * T[k2, a] * sum_b x[a + n1*b] * W_n2^(b*k2).
+    """
+    n = n1 * n2
+    k2 = np.arange(n2, dtype=np.float64)[:, None]
+    a = np.arange(n1, dtype=np.float64)[None, :]
+    theta = 2.0 * np.pi * (a * k2) / float(n)
+    t = np.cos(theta) - 1j * np.sin(theta)
+    return t if forward else np.conj(t)
+
+
+def choose_split(n: int, limit: int = 128) -> Optional[Tuple[int, int]]:
+    """Pick (n1, n2) with n = n1*n2, both <= limit, n2 maximal.
+
+    Returns None when no such split exists (n > limit^2, or n has no divisor
+    pair within the limit — e.g. large primes, which route to Bluestein).
+    Maximal n2 keeps the phase-A matmul contraction long (better MXU
+    utilization) and n1 small.
+    """
+    if n <= limit:
+        return (1, n)
+    best = None
+    for n2 in range(limit, 0, -1):
+        if n % n2 == 0 and n // n2 <= limit:
+            best = (n // n2, n2)
+            break
+    return best

@@ -21,3 +21,6 @@ __all__ = [
     "factorize_autosort",
     "next_power_of_two",
 ]
+from fourier_tpu.plan.mxu import MxuFftPlan  # noqa: E402
+
+__all__.append("MxuFftPlan")

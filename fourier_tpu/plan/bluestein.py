@@ -58,13 +58,20 @@ class BluesteinPlan(FftPlan):
         self.x_inv = x_inv
 
     @classmethod
-    def create(cls, size: int, dtype=np.complex64) -> "BluesteinPlan":
+    def create(cls, size: int, dtype=np.complex64, inner_factory=None) -> "BluesteinPlan":
+        """Plan an arbitrary size. `inner_factory(size, dtype)` builds the
+        power-of-two inner plan (any FftPlan; defaults to AutosortPlan) —
+        the ``new_with_fft`` inner-FFT-maker pattern (``bluesteins.rs:109``).
+        """
         if size < 1:
             raise ValueError(f"FFT size must be >= 1, got {size}")
         dtype = np.dtype(dtype)
         real = np.float32 if dtype == np.complex64 else np.float64
         inner_size = next_power_of_two(2 * size - 1)
-        inner = AutosortPlan.create(inner_size, dtype)
+        if inner_factory is None:
+            inner = AutosortPlan.create(inner_size, dtype)
+        else:
+            inner = inner_factory(inner_size, dtype)
         assert inner is not None, "power-of-two inner size must factorize"
         tables = _chirp_tables(size, inner_size)
         planar = lambda a: (

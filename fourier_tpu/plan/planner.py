@@ -1,57 +1,107 @@
 """Runtime planner: the ``create_fft_f32`` / ``create_fft_f64`` analog.
 
-Mirrors ``fourier/src/lib.rs:31-60``: try the Stockham autosort plan first
-(sizes 2^a * 3^b), fall back to Bluestein for every other size. Returns a
-type-stable plan object (pytree) rather than a boxed trait object.
+Mirrors ``fourier/src/lib.rs:31-60`` — pick the best plan family per size —
+widened with a TPU-native backend axis:
 
-Plans are cached per (size, dtype): creating a plan costs O(N) f64 trig plus one
-plan-time numpy FFT for Bluestein sizes, and plan reuse also maximizes jit-cache
-hits on the execute path.
+* ``mxu``      — fused Pallas MXU kernels (ops/pallas/bailey.py): any
+                 n = n1*n2 with n1, n2 <= 128 (c64 only); other sizes via
+                 Bluestein with an MXU inner plan.
+* ``stockham`` — pure-XLA planar Stockham autosort (2^a*3^b) + Bluestein:
+                 the reference-faithful path; runs on any backend, supports
+                 c128, and is the differential-test oracle for ``mxu``.
+* ``auto``     — ``mxu`` on a TPU default backend for c64, else ``stockham``.
+
+Plans are cached per (size, dtype, resolved backend): creating a plan costs
+O(N) f64 trig plus a plan-time numpy FFT for Bluestein sizes, and plan reuse
+maximizes jit-cache hits on the execute path.
 """
 
 from __future__ import annotations
 
-from typing import Dict, Tuple, Union
+from typing import Dict, Tuple
 
 import numpy as np
 
 from fourier_tpu.plan.autosort import AutosortPlan
 from fourier_tpu.plan.base import FftPlan
 from fourier_tpu.plan.bluestein import BluesteinPlan
+from fourier_tpu.plan.mxu import MxuFftPlan
 
-_PLAN_CACHE: Dict[Tuple[int, str], FftPlan] = {}
+_PLAN_CACHE: Dict[Tuple[int, str, str], FftPlan] = {}
+
+BACKENDS = ("auto", "mxu", "stockham")
 
 
-def create_fft(size: int, dtype=np.complex64, *, cache: bool = True) -> FftPlan:
+def _resolve_backend(backend: str, dtype: np.dtype) -> str:
+    if backend not in BACKENDS:
+        raise ValueError(f"unknown backend {backend!r}; use one of {BACKENDS}")
+    if backend != "auto":
+        return backend
+    if dtype == np.dtype(np.complex64):
+        import jax
+
+        if jax.default_backend() == "tpu":
+            return "mxu"
+    return "stockham"
+
+
+def _create_stockham(size: int, dtype: np.dtype) -> FftPlan:
+    plan = AutosortPlan.create(size, dtype)
+    if plan is None:
+        plan = BluesteinPlan.create(size, dtype)
+    return plan
+
+
+def _create_mxu(size: int, dtype: np.dtype) -> FftPlan:
+    plan = MxuFftPlan.create(size, dtype)
+    if plan is not None:
+        return plan
+
+    # No divisor split <= 128x128 (large prime, or n > 16384): Bluestein with
+    # an MXU inner plan when the inner power of two fits, else Stockham.
+    def inner_factory(m, dt):
+        inner = MxuFftPlan.create(m, dt)
+        return inner if inner is not None else AutosortPlan.create(m, dt)
+
+    return BluesteinPlan.create(size, dtype, inner_factory=inner_factory)
+
+
+def create_fft(
+    size: int, dtype=np.complex64, *, backend: str = "auto", cache: bool = True
+) -> FftPlan:
     """Create (or fetch a cached) FFT plan for complex transforms of `size`."""
     dtype = np.dtype(dtype)
     if dtype not in (np.dtype(np.complex64), np.dtype(np.complex128)):
         raise ValueError(f"unsupported dtype {dtype}; use complex64 or complex128")
     if dtype == np.dtype(np.complex128):
         _require_x64()
-    key = (int(size), dtype.name)
+    resolved = _resolve_backend(backend, dtype)
+    if resolved == "mxu" and dtype != np.dtype(np.complex64):
+        raise ValueError("backend='mxu' supports complex64 only (c128: stockham)")
+    key = (int(size), dtype.name, resolved)
     if cache and key in _PLAN_CACHE:
         return _PLAN_CACHE[key]
-    plan: Union[AutosortPlan, BluesteinPlan, None] = AutosortPlan.create(size, dtype)
-    if plan is None:
-        plan = BluesteinPlan.create(size, dtype)
+    if resolved == "mxu":
+        plan = _create_mxu(size, dtype)
+    else:
+        plan = _create_stockham(size, dtype)
     if cache:
         _PLAN_CACHE[key] = plan
     return plan
 
 
-def create_fft_f32(size: int) -> FftPlan:
+def create_fft_f32(size: int, backend: str = "auto") -> FftPlan:
     """Complex64 (f32) FFT plan (``create_fft_f32``, ``fourier/src/lib.rs:31``)."""
-    return create_fft(size, np.complex64)
+    return create_fft(size, np.complex64, backend=backend)
 
 
-def create_fft_f64(size: int) -> FftPlan:
+def create_fft_f64(size: int, backend: str = "auto") -> FftPlan:
     """Complex128 (f64) FFT plan (``create_fft_f64``, ``fourier/src/lib.rs:49``).
 
-    Requires ``jax.config.jax_enable_x64`` on CPU; on TPU (no native f64) use
+    Requires ``jax.config.jax_enable_x64`` (CPU); on TPU (no native f64) use
     the double-word emulation path in :mod:`fourier_tpu.precision`.
     """
-    return create_fft(size, np.complex128)
+    return create_fft(size, np.complex128, backend=backend)
 
 
 def clear_plan_cache() -> None:
