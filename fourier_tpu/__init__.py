@@ -22,11 +22,14 @@ from fourier_tpu.plan import (
     AutosortPlan,
     BluesteinPlan,
     FftPlan,
+    MxuFftPlan,
     clear_plan_cache,
     create_fft,
     create_fft_f32,
     create_fft_f64,
 )
+from fourier_tpu.plan.serialize import load_plan, plan_to_bytes, save_plan
+from fourier_tpu.ndim import NdFftPlan, fft2, fftn, ifft2, ifftn
 from fourier_tpu.transform import Transform
 
 __version__ = "0.1.0"
@@ -76,15 +79,24 @@ __all__ = [
     "AutosortPlan",
     "BluesteinPlan",
     "FftPlan",
+    "MxuFftPlan",
+    "NdFftPlan",
     "Transform",
     "clear_plan_cache",
     "create_fft",
     "create_fft_f32",
     "create_fft_f64",
     "fft",
+    "fft2",
     "fft_planar",
+    "fftn",
     "ifft",
+    "ifft2",
     "ifft_planar",
+    "ifftn",
+    "load_plan",
+    "plan_to_bytes",
+    "save_plan",
     "transform",
     "transform_planar",
     "__version__",

@@ -1,0 +1,125 @@
+"""Multi-dimensional FFTs (single-chip): fft2 / fftn over trailing axes.
+
+The reference is 1-D only; multi-dimensional transforms are part of the TPU
+build's widened surface (BASELINE.json configs include 2-D). An N-D transform
+is separable: a 1-D plan applied along each transformed axis, with the mode's
+normalization applied ONCE over the total transformed size (so the five
+``Transform`` modes keep their 1-D semantics: IFFT scales by 1/prod(shape),
+the sqrt-scaled pair stays unitary).
+
+For pod-sharded 2-D transforms over a device mesh, use
+:class:`fourier_tpu.parallel.Fft2dPlan`; this module is the single-chip path
+(batched over leading axes, jit-compatible, planar-first).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from fourier_tpu.plan.base import FftPlan
+from fourier_tpu.plan.planner import create_fft
+from fourier_tpu.transform import Transform
+
+
+class NdFftPlan:
+    """Separable N-D plan: one 1-D plan per transformed axis."""
+
+    def __init__(self, shape: Sequence[int], dtype=np.complex64, *,
+                 backend: str = "auto"):
+        self.shape = tuple(int(s) for s in shape)
+        if not self.shape:
+            raise ValueError("NdFftPlan needs at least one axis")
+        self.dtype = np.dtype(dtype)
+        self.plans: Tuple[FftPlan, ...] = tuple(
+            create_fft(s, self.dtype, backend=backend) for s in self.shape
+        )
+        self.size = int(np.prod(self.shape))
+
+    @property
+    def ndim(self) -> int:
+        return len(self.shape)
+
+    def transform_planar(self, re, im, transform: Transform = Transform.FFT):
+        """Transform the trailing ``ndim`` axes of planar (re, im) planes."""
+        transform = Transform(transform)
+        re = jnp.asarray(re)
+        im = jnp.asarray(im)
+        if re.shape[-self.ndim:] != self.shape:
+            raise ValueError(
+                f"trailing axes {re.shape[-self.ndim:]} do not match plan "
+                f"shape {self.shape}"
+            )
+        # Per-axis passes are unscaled; normalization applied once at the end.
+        mode = Transform.FFT if transform.is_forward else Transform.UNSCALED_IFFT
+        for axis_from_end, plan in enumerate(reversed(self.plans)):
+            axis = re.ndim - 1 - axis_from_end
+            re = jnp.moveaxis(re, axis, -1)
+            im = jnp.moveaxis(im, axis, -1)
+            re, im = plan._apply(re, im, mode)
+            re = jnp.moveaxis(re, -1, axis)
+            im = jnp.moveaxis(im, -1, axis)
+        scale = transform.scale(self.size)
+        if scale is not None:
+            s = jnp.asarray(scale, dtype=re.dtype)
+            re, im = re * s, im * s
+        return re, im
+
+    def transform(self, x, transform: Transform = Transform.FFT):
+        """Complex convenience (host/CPU boundary), numpy in -> numpy out."""
+        x = np.asarray(x)
+        if not np.issubdtype(x.dtype, np.complexfloating):
+            x = x.astype(self.dtype)
+        real = np.float32 if self.dtype == np.complex64 else np.float64
+        ore, oim = self.transform_planar(
+            np.real(x).astype(real), np.imag(x).astype(real), transform
+        )
+        return (np.asarray(ore) + 1j * np.asarray(oim)).astype(self.dtype)
+
+    def fft(self, x):
+        return self.transform(x, Transform.FFT)
+
+    def ifft(self, x):
+        return self.transform(x, Transform.IFFT)
+
+    def fft_planar(self, re, im):
+        return self.transform_planar(re, im, Transform.FFT)
+
+    def ifft_planar(self, re, im):
+        return self.transform_planar(re, im, Transform.IFFT)
+
+
+_ND_CACHE = {}
+
+
+def _nd_plan(shape, dtype) -> NdFftPlan:
+    key = (tuple(shape), np.dtype(dtype).name)
+    if key not in _ND_CACHE:
+        _ND_CACHE[key] = NdFftPlan(shape, dtype)
+    return _ND_CACHE[key]
+
+
+def fftn(x, ndim: Optional[int] = None, dtype=np.complex64):
+    """Forward FFT over the trailing `ndim` axes (default: all axes)."""
+    shape = np.shape(x)
+    ndim = len(shape) if ndim is None else ndim
+    return _nd_plan(shape[-ndim:], dtype).fft(x)
+
+
+def ifftn(x, ndim: Optional[int] = None, dtype=np.complex64):
+    """Scaled inverse FFT over the trailing `ndim` axes (default: all)."""
+    shape = np.shape(x)
+    ndim = len(shape) if ndim is None else ndim
+    return _nd_plan(shape[-ndim:], dtype).ifft(x)
+
+
+def fft2(x, dtype=np.complex64):
+    """2-D forward FFT over the last two axes."""
+    return fftn(x, 2, dtype)
+
+
+def ifft2(x, dtype=np.complex64):
+    """2-D scaled inverse FFT over the last two axes."""
+    return ifftn(x, 2, dtype)

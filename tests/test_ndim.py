@@ -1,0 +1,72 @@
+"""Multi-dimensional transform tests vs numpy.fft."""
+
+import numpy as np
+import pytest
+
+from fourier_tpu import Transform
+from fourier_tpu.ndim import NdFftPlan, fft2, fftn, ifft2, ifftn
+
+RNG_SEED = 0x2D2D
+
+
+def _rand(shape, rng):
+    return (
+        rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+    ).astype(np.complex64)
+
+
+@pytest.mark.parametrize("shape", [(16, 16), (8, 32), (12, 35)])
+def test_fft2_vs_numpy(shape):
+    rng = np.random.default_rng(RNG_SEED)
+    x = _rand(shape, rng)
+    np.testing.assert_allclose(fft2(x), np.fft.fft2(x), atol=1e-3)
+    np.testing.assert_allclose(ifft2(x), np.fft.ifft2(x), atol=1e-4)
+
+
+def test_fftn_3d():
+    rng = np.random.default_rng(RNG_SEED)
+    x = _rand((4, 8, 16), rng)
+    np.testing.assert_allclose(fftn(x), np.fft.fftn(x), atol=1e-3)
+    np.testing.assert_allclose(ifftn(x), np.fft.ifftn(x), atol=1e-4)
+
+
+def test_batched_fft2():
+    rng = np.random.default_rng(RNG_SEED)
+    x = _rand((3, 8, 16), rng)
+    got = fftn(x, ndim=2)
+    want = np.fft.fft2(x, axes=(-2, -1))
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+@pytest.mark.parametrize("mode", list(Transform))
+def test_nd_modes(mode):
+    rng = np.random.default_rng(RNG_SEED)
+    shape = (8, 12)
+    x = _rand(shape, rng)
+    plan = NdFftPlan(shape)
+    got = plan.transform(x, mode)
+    n = np.prod(shape)
+    base = np.fft.fft2(x) if mode.is_forward else np.fft.ifft2(x) * n
+    scale = mode.scale(n)
+    want = base * (scale if scale is not None else 1.0)
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_nd_unitary_roundtrip():
+    rng = np.random.default_rng(RNG_SEED)
+    shape = (16, 9)
+    x = _rand(shape, rng)
+    plan = NdFftPlan(shape)
+    y = plan.transform(x, Transform.SQRT_SCALED_FFT)
+    # Parseval
+    assert abs(np.linalg.norm(y) - np.linalg.norm(x)) < 1e-4 * np.linalg.norm(x)
+    back = plan.transform(y, Transform.SQRT_SCALED_IFFT)
+    np.testing.assert_allclose(back, x, atol=1e-4)
+
+
+def test_nd_shape_validation():
+    plan = NdFftPlan((8, 8))
+    with pytest.raises(ValueError):
+        plan.fft(np.zeros((8, 9), np.complex64))
+    with pytest.raises(ValueError):
+        NdFftPlan(())

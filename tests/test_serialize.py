@@ -1,0 +1,94 @@
+"""Static/serialized-plan parity tests (the static_fft analog).
+
+Mirrors the reference's static-plan tests (``integrity.rs:234-254``): plans at
+size 64 (pure autosort) and size 73 (prime -> Bluestein with nested inner
+plan), {f32, f64} x {forward, inverse}, must reproduce the oracle after a
+serialize/deserialize roundtrip. Also covers AOT export of the jitted execute
+function — the trace-time analog of the reference's compile-time planner.
+"""
+
+import numpy as np
+import pytest
+
+import fourier_tpu as ft
+from fourier_tpu import Transform
+from fourier_tpu.plan import MxuFftPlan
+from fourier_tpu.plan.serialize import load_plan, plan_to_bytes, save_plan
+from fourier_tpu.utils import oracle_transform
+
+RNG_SEED = 0x57A71C
+
+
+def _rand(n, rng, dtype):
+    return ((rng.standard_normal(n) + 1j * rng.standard_normal(n))).astype(dtype)
+
+
+@pytest.mark.parametrize("n", [64, 73])  # autosort | Bluestein (integrity.rs:234-254)
+@pytest.mark.parametrize(
+    "dtype,tol", [(np.complex64, 1e-4), (np.complex128, 1e-10)]
+)
+def test_saved_plan_matches_oracle(tmp_path, n, dtype, tol):
+    rng = np.random.default_rng(RNG_SEED + n)
+    plan = ft.create_fft(n, dtype, cache=False)
+    path = str(tmp_path / "plan.npz")
+    save_plan(plan, path)
+    loaded = load_plan(path)
+    assert type(loaded) is type(plan)
+    assert loaded.size == n
+    x = _rand(n, rng, dtype)
+    for mode in (Transform.FFT, Transform.IFFT):
+        got = loaded.transform(x, mode)
+        want = oracle_transform(x, mode)
+        assert np.max(np.abs(np.asarray(got) - want)) < tol * max(
+            1.0, np.max(np.abs(want))
+        )
+        # and bit-identical to the original plan's output
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(plan.transform(x, mode))
+        )
+
+
+def test_mxu_plan_roundtrip(tmp_path):
+    rng = np.random.default_rng(RNG_SEED)
+    plan = MxuFftPlan.create(384)
+    path = str(tmp_path / "mxu.npz")
+    save_plan(plan, path)
+    loaded = load_plan(path)
+    assert loaded.n1 == plan.n1 and loaded.n2 == plan.n2
+    x = _rand(384, rng, np.complex64)
+    np.testing.assert_array_equal(
+        np.asarray(loaded.fft(x)), np.asarray(plan.fft(x))
+    )
+
+
+def test_plan_to_bytes():
+    plan = ft.create_fft(48, cache=False)
+    blob = plan_to_bytes(plan)
+    assert isinstance(blob, bytes) and len(blob) > 0
+
+
+def test_aot_export_roundtrip():
+    """AOT-compile the execute fn, serialize, reload, run — compile-time plan."""
+    jax_export = pytest.importorskip("jax.export")
+    import jax
+    import jax.numpy as jnp
+
+    plan = ft.create_fft(64, np.complex64, cache=False)
+
+    def run(re, im):
+        return plan.transform_planar(re, im, Transform.FFT)
+
+    re = jnp.zeros((4, 64), jnp.float32)
+    im = jnp.zeros((4, 64), jnp.float32)
+    exported = jax_export.export(jax.jit(run))(re, im)
+    blob = exported.serialize()
+    assert isinstance(blob, (bytes, bytearray))
+    reloaded = jax_export.deserialize(blob)
+
+    rng = np.random.default_rng(RNG_SEED)
+    x = _rand((4 * 64), rng, np.complex64).reshape(4, 64)
+    ore, oim = reloaded.call(
+        jnp.asarray(np.real(x)), jnp.asarray(np.imag(x))
+    )
+    got = np.asarray(ore) + 1j * np.asarray(oim)
+    np.testing.assert_allclose(got, np.fft.fft(x, axis=-1), atol=1e-4)
