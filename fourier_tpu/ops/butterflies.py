@@ -26,70 +26,72 @@ _SQRT_2_2 = math.sqrt(2.0) / 2.0
 _SIN_PI_3 = math.sqrt(3.0) / 2.0
 
 
-def butterfly2(x: Sequence, forward: bool) -> List:
+def butterfly2(x: Sequence, forward: bool, ops=cplx) -> List:
     """[a+b, a-b] (``butterfly.rs:3-5``)."""
     del forward
-    return [cplx.add(x[0], x[1]), cplx.sub(x[0], x[1])]
+    return [ops.add(x[0], x[1]), ops.sub(x[0], x[1])]
 
 
-def butterfly3(x: Sequence, forward: bool) -> List:
+def butterfly3(x: Sequence, forward: bool, ops=cplx) -> List:
     """Radix-3 via W_3 = exp(∓2πi/3) and its conjugate (``butterfly.rs:9-22``).
 
     Expressed in the reduced form x0 - s/2 ± i*ti*(x1-x2): identical math to the
     reference's t*x1 + conj(t)*x2 with t = -1/2 + i*ti, fewer multiplies.
     """
     ti = -_SIN_PI_3 if forward else _SIN_PI_3  # imag part of W_3^1
-    s = cplx.add(x[1], x[2])
-    d = cplx.sub(x[1], x[2])
-    base = cplx.add(x[0], cplx.scale(s, -0.5))
-    # i * ti * d  =  ti * (−d_im, d_re)
-    rot = cplx.scale((-d[1], d[0]), ti)
+    s = ops.add(x[1], x[2])
+    d = ops.sub(x[1], x[2])
+    base = ops.add(x[0], ops.scale(s, -0.5))
+    # i * ti * d  =  ti * rotate(d, +i)
+    rot = ops.scale(ops.rotate(d, True), ti)
     return [
-        cplx.add(x[0], s),
-        cplx.add(base, rot),
-        cplx.sub(base, rot),
+        ops.add(x[0], s),
+        ops.add(base, rot),
+        ops.sub(base, rot),
     ]
 
 
-def butterfly4(x: Sequence, forward: bool) -> List:
+def butterfly4(x: Sequence, forward: bool, ops=cplx) -> List:
     """Two radix-2 layers + ±i rotation + output permutation
     (``butterfly.rs:26-43``)."""
-    a0 = cplx.add(x[0], x[2])
-    a1 = cplx.sub(x[0], x[2])
-    a2 = cplx.add(x[1], x[3])
-    a3 = cplx.rotate(cplx.sub(x[1], x[3]), forward)
+    a0 = ops.add(x[0], x[2])
+    a1 = ops.sub(x[0], x[2])
+    a2 = ops.add(x[1], x[3])
+    a3 = ops.rotate(ops.sub(x[1], x[3]), forward)
     return [
-        cplx.add(a0, a2),
-        cplx.sub(a1, a3),
-        cplx.sub(a0, a2),
-        cplx.add(a1, a3),
+        ops.add(a0, a2),
+        ops.sub(a1, a3),
+        ops.sub(a0, a2),
+        ops.add(a1, a3),
     ]
 
 
-def butterfly8(x: Sequence, forward: bool) -> List:
+def butterfly8(x: Sequence, forward: bool, ops=cplx) -> List:
     """Two radix-4 + radix-2 combine with W_8 twiddles (``butterfly.rs:47-65``)."""
     c = _SQRT_2_2
     tw_i = -c if forward else c  # W_8^1 = c + i*tw_i
-    a = butterfly4([x[0], x[2], x[4], x[6]], forward)
-    b = butterfly4([x[1], x[3], x[5], x[7]], forward)
-    b1 = cplx.mul_const(b[1], c, tw_i)
-    b2 = cplx.rotate(b[2], not forward)
-    b3 = cplx.mul_const(b[3], -c, tw_i)  # W_8^3 = -conj(W_8^1)
+    a = butterfly4([x[0], x[2], x[4], x[6]], forward, ops)
+    b = butterfly4([x[1], x[3], x[5], x[7]], forward, ops)
+    b1 = ops.mul_const(b[1], c, tw_i)
+    b2 = ops.rotate(b[2], not forward)
+    b3 = ops.mul_const(b[3], -c, tw_i)  # W_8^3 = -conj(W_8^1)
     return [
-        cplx.add(a[0], b[0]),
-        cplx.add(a[1], b1),
-        cplx.add(a[2], b2),
-        cplx.add(a[3], b3),
-        cplx.sub(a[0], b[0]),
-        cplx.sub(a[1], b1),
-        cplx.sub(a[2], b2),
-        cplx.sub(a[3], b3),
+        ops.add(a[0], b[0]),
+        ops.add(a[1], b1),
+        ops.add(a[2], b2),
+        ops.add(a[3], b3),
+        ops.sub(a[0], b[0]),
+        ops.sub(a[1], b1),
+        ops.sub(a[2], b2),
+        ops.sub(a[3], b3),
     ]
 
 
 BUTTERFLIES = {2: butterfly2, 3: butterfly3, 4: butterfly4, 8: butterfly8}
 
 
-def apply_butterfly(radix: int, parts: Sequence, forward: bool) -> List:
-    """Dispatch to the radix-`radix` butterfly."""
-    return BUTTERFLIES[radix](parts, forward)
+def apply_butterfly(radix: int, parts: Sequence, forward: bool, ops=cplx) -> List:
+    """Dispatch to the radix-`radix` butterfly over the given complex-ops
+    vocabulary (default: planar f32/f64; fourier_tpu.precision.ddcplx for the
+    double-double c128 emulation)."""
+    return BUTTERFLIES[radix](parts, forward, ops)

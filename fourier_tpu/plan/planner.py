@@ -29,7 +29,7 @@ from fourier_tpu.plan.mxu import MxuFftPlan
 
 _PLAN_CACHE: Dict[Tuple[int, str, str], FftPlan] = {}
 
-BACKENDS = ("auto", "mxu", "stockham")
+BACKENDS = ("auto", "mxu", "stockham", "dd")
 
 
 def _resolve_backend(backend: str, dtype: np.dtype) -> str:
@@ -37,11 +37,16 @@ def _resolve_backend(backend: str, dtype: np.dtype) -> str:
         raise ValueError(f"unknown backend {backend!r}; use one of {BACKENDS}")
     if backend != "auto":
         return backend
-    if dtype == np.dtype(np.complex64):
-        import jax
+    import jax
 
+    if dtype == np.dtype(np.complex64):
         if jax.default_backend() == "tpu":
             return "mxu"
+        return "stockham"
+    # complex128: native f64 Stockham where x64 is available (CPU), else the
+    # double-word f32 emulation (TPU has no f64 at all).
+    if jax.default_backend() == "tpu" or not jax.config.jax_enable_x64:
+        return "dd"
     return "stockham"
 
 
@@ -73,16 +78,22 @@ def create_fft(
     dtype = np.dtype(dtype)
     if dtype not in (np.dtype(np.complex64), np.dtype(np.complex128)):
         raise ValueError(f"unsupported dtype {dtype}; use complex64 or complex128")
-    if dtype == np.dtype(np.complex128):
-        _require_x64()
     resolved = _resolve_backend(backend, dtype)
     if resolved == "mxu" and dtype != np.dtype(np.complex64):
-        raise ValueError("backend='mxu' supports complex64 only (c128: stockham)")
+        raise ValueError("backend='mxu' supports complex64 only (c128: dd/stockham)")
+    if resolved == "dd" and dtype != np.dtype(np.complex128):
+        raise ValueError("backend='dd' is the complex128 emulation path")
+    if resolved == "stockham" and dtype == np.dtype(np.complex128):
+        _require_x64()
     key = (int(size), dtype.name, resolved)
     if cache and key in _PLAN_CACHE:
         return _PLAN_CACHE[key]
     if resolved == "mxu":
         plan = _create_mxu(size, dtype)
+    elif resolved == "dd":
+        from fourier_tpu.precision import DdFftPlan
+
+        plan = DdFftPlan(size)
     else:
         plan = _create_stockham(size, dtype)
     if cache:
