@@ -25,6 +25,18 @@ def dft_matrix(n: int, forward: bool) -> np.ndarray:
     return d if forward else np.conj(d)
 
 
+def folded_phase_b(n1: int, n2: int, forward: bool, scale: float = 1.0) -> np.ndarray:
+    """Phase-B DFT with the glue twiddle folded in: (n2, n1, n1) complex128.
+
+    Df[k2, k1, a] = D_n1[k1, a] * T[k2, a] * scale. Using this as a
+    k2-batched contraction computes twiddle+phase-B in one fused op —
+    one fewer full memory pass per transform on the XLA path.
+    """
+    d1 = dft_matrix(n1, forward) * scale
+    t = split_twiddle(n1, n2, forward)
+    return d1[None, :, :] * t[:, None, :]
+
+
 def split_twiddle(n1: int, n2: int, forward: bool) -> np.ndarray:
     """Dense (n2, n1) glue twiddle T[k2, a] = W_(n1*n2)^(±a*k2), complex128.
 
@@ -40,18 +52,22 @@ def split_twiddle(n1: int, n2: int, forward: bool) -> np.ndarray:
 
 
 def choose_split(n: int, limit: int = 128) -> Optional[Tuple[int, int]]:
-    """Pick (n1, n2) with n = n1*n2, both <= limit, n2 maximal.
+    """Pick (n1, n2) with n = n1*n2, both <= limit, minimizing n1 + n2.
 
     Returns None when no such split exists (n > limit^2, or n has no divisor
     pair within the limit — e.g. large primes, which route to Bluestein).
-    Maximal n2 keeps the phase-A matmul contraction long (better MXU
-    utilization) and n1 small.
+    The DFT-matmul flop count is 8*n*(n1+n2), so the balanced split minimizes
+    work; ties resolve to the larger n2 (longer phase-A contraction).
+    Measured on the target chip, (64,64) beats (32,128) for n=4096.
     """
     if n <= limit:
         return (1, n)
     best = None
+    best_sum = None
     for n2 in range(limit, 0, -1):
-        if n % n2 == 0 and n // n2 <= limit:
-            best = (n // n2, n2)
-            break
+        if n % n2 == 0:
+            n1 = n // n2
+            if n1 <= limit and (best_sum is None or n1 + n2 < best_sum):
+                best = (n1, n2)
+                best_sum = n1 + n2
     return best

@@ -230,6 +230,27 @@ def xla_fft_single(re, im, dre, dim):
     return ore, oim
 
 
+def xla_fft_two_phase_folded(re, im, d2re, d2im, dfre, dfim):
+    """XLA two-phase with the glue twiddle folded into phase B.
+
+    df has shape (n2, n1, n1): Df[k2, k1, a] = D_n1[k1, a] * W_N^(a*k2)
+    (ops/dft_matrix.folded_phase_b), so twiddle + phase B run as one fused
+    k2-batched contraction — one fewer full memory pass than the plain form.
+    """
+    b, n = re.shape
+    n2 = d2re.shape[0]
+    n1 = dfre.shape[1]
+    mre = re.reshape(b, n2, n1)
+    mim = im.reshape(b, n2, n1)
+    mm = lambda d, m: jnp.einsum("kb,tba->tka", d, m, precision=_HIGHEST)
+    gre = mm(d2re, mre) - mm(d2im, mim)
+    gim = mm(d2re, mim) + mm(d2im, mre)
+    dg = lambda d, g: jnp.einsum("kpa,tka->tpk", d, g, precision=_HIGHEST)
+    ore = dg(dfre, gre) - dg(dfim, gim)
+    oim = dg(dfre, gim) + dg(dfim, gre)
+    return ore.reshape(b, n), oim.reshape(b, n)
+
+
 def reference_two_phase(re, im, d2re, d2im, tre, tim, d1re, d1im):
     """XLA twin of the two-phase kernel (einsum): the default production path
     on this environment (see xla_fft_single docstring) and the differential

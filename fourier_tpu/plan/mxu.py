@@ -21,7 +21,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fourier_tpu.ops.dft_matrix import choose_split, dft_matrix, split_twiddle
+from fourier_tpu.ops.dft_matrix import (
+    choose_split,
+    dft_matrix,
+    folded_phase_b,
+    split_twiddle,
+)
 from fourier_tpu.ops.pallas import bailey
 from fourier_tpu.plan.base import FftPlan
 from fourier_tpu.transform import Transform
@@ -80,6 +85,11 @@ class MxuFftPlan(FftPlan):
             if n1 == 1:
                 d = dft_matrix(size, fwd)
                 tables[fwd] = _planar(d, real)
+            elif impl == "xla":
+                # Twiddle folded into phase B (one fewer memory pass).
+                d2 = dft_matrix(n2, fwd)
+                df = folded_phase_b(n1, n2, fwd)
+                tables[fwd] = _planar(d2, real) + _planar(df, real)
             else:
                 d2 = dft_matrix(n2, fwd)
                 t = split_twiddle(n1, n2, fwd)
@@ -114,19 +124,22 @@ class MxuFftPlan(FftPlan):
                 ore, oim = bailey.xla_fft_single(re2, im2, dre, dim)
             else:
                 ore, oim = bailey.mxu_fft_single(re2, im2, dre, dim, **kw)
+        elif self.impl == "xla":
+            d2re, d2im, dfre, dfim = tables
+            if scale is not None:
+                s = jnp.float32(scale)
+                dfre, dfim = dfre * s, dfim * s
+            ore, oim = bailey.xla_fft_two_phase_folded(
+                re2, im2, d2re, d2im, dfre, dfim
+            )
         else:
             d2re, d2im, tre, tim, d1re, d1im = tables
             if scale is not None:
                 s = jnp.float32(scale)
                 d1re, d1im = d1re * s, d1im * s
-            if self.impl == "xla":
-                ore, oim = bailey.reference_two_phase(
-                    re2, im2, d2re, d2im, tre, tim, d1re, d1im
-                )
-            else:
-                ore, oim = bailey.mxu_fft_two_phase(
-                    re2, im2, d2re, d2im, tre, tim, d1re, d1im, **kw
-                )
+            ore, oim = bailey.mxu_fft_two_phase(
+                re2, im2, d2re, d2im, tre, tim, d1re, d1im, **kw
+            )
         return ore.reshape(*batch_shape, self.size), oim.reshape(*batch_shape, self.size)
 
     # -- pytree protocol ---------------------------------------------------

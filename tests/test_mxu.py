@@ -36,15 +36,20 @@ def _run(plan, x, mode):
 
 
 def test_choose_split():
+    # Balanced split (minimal n1+n2), ties -> larger n2.
     assert choose_split(64) == (1, 64)
     assert choose_split(128) == (1, 128)
-    assert choose_split(4096) == (32, 128)
-    assert choose_split(256) == (2, 128)
-    assert choose_split(243) == (3, 81)
+    assert choose_split(4096) == (64, 64)
+    assert choose_split(256) == (16, 16)
+    assert choose_split(243) == (9, 27)
     assert choose_split(3125) == (25, 125)
+    assert choose_split(1000) == (25, 40)
     assert choose_split(16384) == (128, 128)
     assert choose_split(16381) is None  # prime > 128
     assert choose_split(128 * 128 * 2) is None  # > 16384
+    for n in (4096, 256, 1000, 243):
+        n1, n2 = choose_split(n)
+        assert n1 * n2 == n and n1 <= 128 and n2 <= 128
 
 
 @pytest.mark.parametrize("n", SIZES)
