@@ -1,0 +1,138 @@
+"""Single-chip four-step composition: large transforms from two sub-plans.
+
+The multi-chip four-step (parallel/sharded.py) shards the transform axis over
+a mesh; this is its single-chip twin — a plan for n = p*q built from ANY two
+plans for p and q (Stockham, MXU, or recursively another four-step):
+
+    X[k1*q + k2] = sum_a W_p^(a*k1) * W_n^(a*k2) * sum_b x[a + p*b] * W_q^(b*k2)
+
+i.e. reshape (q, p) -> q-point column FFTs -> dense split twiddle -> p-point
+row FFTs -> transpose to natural order. Extends the MXU execution family to
+any composite n up to 16384^2 (the reference's capability story caps at
+single-node memory; here the planner composes until a divisor structure runs
+out, then falls back to Bluestein, whose large power-of-two inner FFT also
+routes through this plan).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fourier_tpu.ops import cplx
+from fourier_tpu.ops.stockham_jax import xp_for
+from fourier_tpu.plan.base import FftPlan
+from fourier_tpu.transform import Transform
+
+
+def _split_twiddle_t(p: int, q: int, forward: bool, real_dtype):
+    """Planar W_n^(±a*k2) of shape (p, q) indexed [a, k2], f64 plan time."""
+    a = np.arange(p, dtype=np.float64)[:, None]
+    k2 = np.arange(q, dtype=np.float64)[None, :]
+    theta = 2.0 * np.pi * (a * k2) / float(p * q)
+    re = np.cos(theta)
+    im = -np.sin(theta) if forward else np.sin(theta)
+    return re.astype(real_dtype), im.astype(real_dtype)
+
+
+def choose_large_split(n: int, limit: int = 16384) -> Optional[Tuple[int, int]]:
+    """Balanced divisor pair (p, q), both <= limit, or None."""
+    if n <= limit:
+        return None
+    best = None
+    best_mx = None
+    q = int(np.sqrt(n))
+    for cand in range(q, 0, -1):
+        if n % cand == 0:
+            other = n // cand
+            if cand <= limit and other <= limit:
+                mx = max(cand, other)
+                if best_mx is None or mx < best_mx:
+                    best = (cand, other)
+                    best_mx = mx
+                break  # first hit from sqrt downward is the most balanced
+    return best
+
+
+@jax.tree_util.register_pytree_node_class
+class FourStepLocalPlan(FftPlan):
+    """n = p*q transform composed from sub-plans for p and q."""
+
+    def __init__(self, size, p, q, dtype, col_plan, row_plan, tw_fwd, tw_inv):
+        self.size = int(size)
+        self.p = int(p)
+        self.q = int(q)
+        self.dtype = np.dtype(dtype)
+        self.col_plan = col_plan  # size q (the b-axis FFTs)
+        self.row_plan = row_plan  # size p (the a-axis FFTs)
+        self.tw_fwd = tw_fwd  # planar (p, q) pairs
+        self.tw_inv = tw_inv
+
+    @classmethod
+    def create(cls, size: int, dtype, p: int, q: int, plan_factory):
+        """Build from `plan_factory(sub_size, dtype) -> FftPlan`."""
+        assert p * q == size
+        dtype = np.dtype(dtype)
+        real = np.float32 if dtype == np.dtype(np.complex64) else np.float64
+        col_plan = plan_factory(q, dtype)
+        row_plan = plan_factory(p, dtype)
+        tf = _split_twiddle_t(p, q, True, real)
+        ti = _split_twiddle_t(p, q, False, real)
+        return cls(
+            size, p, q, dtype, col_plan, row_plan,
+            (jnp.asarray(tf[0]), jnp.asarray(tf[1])),
+            (jnp.asarray(ti[0]), jnp.asarray(ti[1])),
+        )
+
+    def _apply(self, re, im, transform: Transform):
+        transform = Transform(transform)
+        forward = transform.is_forward
+        xp = xp_for(re)
+        re = xp.asarray(re)
+        im = xp.asarray(im)
+        batch_shape = re.shape[:-1]
+        p, q = self.p, self.q
+        # M[b, a] = x[a + p*b]: reshape (.., q, p); column FFTs run over b,
+        # i.e. over the last axis of the (.., p-a, q-b) transposed view.
+        re = re.reshape(*batch_shape, q, p)
+        im = im.reshape(*batch_shape, q, p)
+        re = xp.swapaxes(re, -1, -2)
+        im = xp.swapaxes(im, -1, -2)
+        mode = Transform.FFT if forward else Transform.UNSCALED_IFFT
+        re, im = self.col_plan._apply(re, im, mode)  # (.., a, k2)
+        tw = self.tw_fwd if forward else self.tw_inv
+        re, im = cplx.mul((re, im), (xp.asarray(tw[0]), xp.asarray(tw[1])))
+        re = xp.swapaxes(re, -1, -2)  # (.., k2, a)
+        im = xp.swapaxes(im, -1, -2)
+        re, im = self.row_plan._apply(re, im, mode)  # (.., k2, k1)
+        # natural order: X[k1*q + k2] -> transpose to (.., k1, k2) and flatten
+        re = xp.swapaxes(re, -1, -2).reshape(*batch_shape, self.size)
+        im = xp.swapaxes(im, -1, -2).reshape(*batch_shape, self.size)
+        scale = self._scale_for(transform)
+        if scale is not None:
+            s = xp.asarray(scale, dtype=re.dtype)
+            re, im = re * s, im * s
+        return re, im
+
+    # -- pytree protocol ---------------------------------------------------
+
+    def tree_flatten(self):
+        children = (self.col_plan, self.row_plan, self.tw_fwd, self.tw_inv)
+        aux = (self.size, self.p, self.q, self.dtype.name)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        size, p, q, dtype_name = aux
+        col_plan, row_plan, tw_fwd, tw_inv = children
+        return cls(size, p, q, np.dtype(dtype_name), col_plan, row_plan,
+                   tw_fwd, tw_inv)
+
+    def __repr__(self):
+        return (
+            f"FourStepLocalPlan(size={self.size}, split=({self.p},{self.q}), "
+            f"col={self.col_plan!r}, row={self.row_plan!r})"
+        )

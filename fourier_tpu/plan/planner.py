@@ -57,15 +57,39 @@ def _create_stockham(size: int, dtype: np.dtype) -> FftPlan:
     return plan
 
 
-def _create_mxu(size: int, dtype: np.dtype) -> FftPlan:
+def _create_mxu_composite(size: int, dtype: np.dtype):
+    """Best matmul-family plan for a composite size, or None (primes etc.).
+
+    MxuFftPlan directly for n = n1*n2 (n1, n2 <= 128); larger composites
+    recurse through single-chip four-step composition (n = p*q with p, q
+    <= 16384 each themselves mxu/four-step plans) up to n = 16384^2.
+    """
+    from fourier_tpu.plan.four_step_local import (
+        FourStepLocalPlan,
+        choose_large_split,
+    )
+
     plan = MxuFftPlan.create(size, dtype)
     if plan is not None:
         return plan
+    split = choose_large_split(size)
+    if split is None:
+        return None
+    factory = lambda m, dt: (
+        _create_mxu_composite(m, dt) or _create_stockham(m, dt)
+    )
+    return FourStepLocalPlan.create(size, dtype, split[0], split[1], factory)
 
-    # No divisor split <= 128x128 (large prime, or n > 16384): Bluestein with
-    # an MXU inner plan when the inner power of two fits, else Stockham.
+
+def _create_mxu(size: int, dtype: np.dtype) -> FftPlan:
+    plan = _create_mxu_composite(size, dtype)
+    if plan is not None:
+        return plan
+
+    # No usable divisor structure (large primes): Bluestein, whose
+    # power-of-two inner always has a matmul-family plan.
     def inner_factory(m, dt):
-        inner = MxuFftPlan.create(m, dt)
+        inner = _create_mxu_composite(m, dt)
         return inner if inner is not None else AutosortPlan.create(m, dt)
 
     return BluesteinPlan.create(size, dtype, inner_factory=inner_factory)

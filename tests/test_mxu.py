@@ -148,3 +148,51 @@ def test_mxu_roundtrip():
 
 def test_c128_returns_none():
     assert MxuFftPlan.create(64, np.complex128) is None
+
+
+# ---------------------------------------------------------------------------
+# Large sizes: four-step single-chip composition
+# ---------------------------------------------------------------------------
+
+
+def test_four_step_local_large():
+    from fourier_tpu.plan.four_step_local import FourStepLocalPlan
+
+    rng = np.random.default_rng(RNG_SEED)
+    for n in (32768, 65536, 20000):
+        plan = ft.create_fft(n, backend="mxu", cache=False)
+        assert isinstance(plan, FourStepLocalPlan), repr(plan)
+        x = _rand(n, rng)
+        got = _run(plan, x, Transform.FFT)
+        want = np.fft.fft(x)
+        rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+        assert rel < 2e-6, f"n={n} rel-L2={rel:.2e}"
+        back = _run(plan, got, Transform.IFFT)
+        assert np.max(np.abs(back - x)) < 1e-3
+
+
+def test_four_step_local_modes_and_batch():
+    rng = np.random.default_rng(RNG_SEED)
+    n = 32768
+    plan = ft.create_fft(n, backend="mxu")
+    xb = _rand(2 * n, rng).reshape(2, n)
+    re, im = np.real(xb).astype(np.float32), np.imag(xb).astype(np.float32)
+    ore, oim = plan.transform_planar(re, im, Transform.SQRT_SCALED_FFT)
+    got = np.asarray(ore) + 1j * np.asarray(oim)
+    want = np.fft.fft(xb, axis=-1) / np.sqrt(n)
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 2e-6
+
+
+def test_large_prime_bluestein_inner_composite():
+    # Large prime: Bluestein with a four-step/mxu inner power-of-two plan.
+    from fourier_tpu.plan.four_step_local import choose_large_split
+
+    assert choose_large_split(32768) == (128, 256)
+    rng = np.random.default_rng(RNG_SEED)
+    n = 10007
+    plan = ft.create_fft(n, backend="mxu", cache=False)
+    assert isinstance(plan, BluesteinPlan)
+    x = _rand(n, rng)
+    got = _run(plan, x, Transform.FFT)
+    want = np.fft.fft(x)
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 2e-6
