@@ -29,6 +29,7 @@ from fourier_tpu.plan import (
     create_fft_f64,
 )
 from fourier_tpu.plan.serialize import load_plan, plan_to_bytes, save_plan
+from fourier_tpu.plan.summary import describe, summarize
 from fourier_tpu.ndim import NdFftPlan, fft2, fftn, ifft2, ifftn
 from fourier_tpu.transform import Transform
 
@@ -86,6 +87,7 @@ __all__ = [
     "create_fft",
     "create_fft_f32",
     "create_fft_f64",
+    "describe",
     "fft",
     "fft2",
     "fft_planar",
@@ -97,6 +99,7 @@ __all__ = [
     "load_plan",
     "plan_to_bytes",
     "save_plan",
+    "summarize",
     "transform",
     "transform_planar",
     "__version__",

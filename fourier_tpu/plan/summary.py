@@ -1,0 +1,160 @@
+"""Plan introspection: summaries and a per-stage cost model.
+
+The reference has no observability at all (SURVEY.md §5: no log crate, no
+metrics); the TPU build's planner-level observability is this module — a
+structured description of what a plan will execute (stage/phase structure,
+table sizes, flop and minimum-HBM-byte counts per batched transform) plus a
+human-readable render. Useful for debugging planner choices and for roofline
+sanity checks (tools/prof.py reports the measured side).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List
+
+import numpy as np
+
+
+@dataclass
+class PlanSummary:
+    kind: str
+    size: int
+    dtype: str
+    flops_per_transform: float  # algorithm flops (not the 5NlogN convention)
+    table_bytes: int
+    min_hbm_bytes_per_transform: int  # in + out planes, perfectly fused
+    stages: List[str] = field(default_factory=list)
+    children: List["PlanSummary"] = field(default_factory=list)
+
+    def render(self, indent: int = 0) -> str:
+        pad = "  " * indent
+        lines = [
+            f"{pad}{self.kind}(n={self.size}, dtype={self.dtype}): "
+            f"{self.flops_per_transform / 1e3:.1f} kflop/transform, "
+            f"tables {self.table_bytes / 1024:.0f} KiB, "
+            f"min-HBM {self.min_hbm_bytes_per_transform / 1024:.0f} KiB"
+        ]
+        for s in self.stages:
+            lines.append(f"{pad}  - {s}")
+        for c in self.children:
+            lines.append(c.render(indent + 1))
+        return "\n".join(lines)
+
+
+def _element_bytes(dtype_name: str) -> int:
+    return 8 if dtype_name == "complex64" else 16  # planar pairs
+
+
+def summarize(plan) -> PlanSummary:
+    """Build a PlanSummary for any plan family."""
+    from fourier_tpu.plan.autosort import AutosortPlan
+    from fourier_tpu.plan.bluestein import BluesteinPlan
+    from fourier_tpu.plan.four_step_local import FourStepLocalPlan
+    from fourier_tpu.plan.mxu import MxuFftPlan
+
+    try:
+        from fourier_tpu.precision.dd_plan import DdFftPlan
+    except ImportError:  # pragma: no cover
+        DdFftPlan = ()
+
+    n = plan.size
+    eb = _element_bytes(plan.dtype.name)
+    io = 2 * n * eb
+
+    if isinstance(plan, AutosortPlan):
+        flops = 0.0
+        stages = []
+        s = n
+        for r in plan.radices:
+            # butterfly ~ r*log2(r)*6-ish flops per output group; use the
+            # standard per-stage estimate 6*n complex-op flops per radix pass.
+            flops += 6.0 * n * np.log2(r)
+            stages.append(f"radix-{r} stage (size {s} -> {s // r})")
+            s //= r
+        tables = sum(
+            t[0].size * t[0].dtype.itemsize * 2
+            for t in plan.fwd_twiddles + plan.inv_twiddles
+        )
+        return PlanSummary("Stockham", n, plan.dtype.name, flops, tables, io, stages)
+
+    if isinstance(plan, MxuFftPlan):
+        if plan.single_phase:
+            flops = 8.0 * n * n
+            stages = [f"dense {n}x{n} DFT matmul (MXU)"]
+        else:
+            flops = 8.0 * n * (plan.n1 + plan.n2) + 14.0 * n
+            stages = [
+                f"phase A: {plan.n2}-point DFT matmul, batch {plan.n1}",
+                f"glue twiddle ({plan.n2}x{plan.n1})"
+                + (" folded into phase B" if plan.impl == "xla" else ""),
+                f"phase B: {plan.n1}-point DFT contraction, batch {plan.n2}",
+            ]
+        tables = sum(
+            int(np.prod(t.shape)) * t.dtype.itemsize
+            for t in plan.fwd_tables + plan.inv_tables
+        )
+        return PlanSummary(
+            f"MxuBailey[{plan.impl}]", n, plan.dtype.name, flops, tables, io, stages
+        )
+
+    if isinstance(plan, BluesteinPlan):
+        inner = summarize(plan.inner)
+        flops = 2 * inner.flops_per_transform + 6.0 * (3 * n + plan.inner.size)
+        tables = (
+            sum(p.size * p.dtype.itemsize for pair in
+                (plan.w_fwd, plan.w_inv, plan.x_fwd, plan.x_inv) for p in pair)
+            + inner.table_bytes
+        )
+        stages = [
+            f"chirp multiply + zero-pad to {plan.inner.size}",
+            "inner forward FFT",
+            "spectral multiply by w",
+            "inner inverse FFT",
+            "chirp multiply + normalize",
+        ]
+        return PlanSummary(
+            "Bluestein", n, plan.dtype.name, flops, tables, io, stages, [inner]
+        )
+
+    if isinstance(plan, FourStepLocalPlan):
+        col = summarize(plan.col_plan)
+        row = summarize(plan.row_plan)
+        flops = (
+            plan.p * col.flops_per_transform
+            + plan.q * row.flops_per_transform
+            + 6.0 * n
+        )
+        tables = col.table_bytes + row.table_bytes + 2 * n * (eb // 2)
+        stages = [
+            f"column FFTs ({plan.q}-point x {plan.p})",
+            f"dense split twiddle ({plan.p}x{plan.q})",
+            f"row FFTs ({plan.p}-point x {plan.q})",
+            "natural-order transpose",
+        ]
+        return PlanSummary(
+            "FourStepLocal", n, plan.dtype.name, flops, tables, io, stages,
+            [col, row],
+        )
+
+    if DdFftPlan and isinstance(plan, DdFftPlan):
+        io_dd = 4 * n * 4 * 2  # four f32 planes in + out
+        if plan.kind == "stockham":
+            flops = sum(6.0 * n * np.log2(r) for r in plan.radices) * 10
+            stages = [f"dd radix-{r} stage" for r in plan.radices]
+            children = []
+        else:
+            inner = summarize(plan.inner)
+            flops = 2 * inner.flops_per_transform + 60.0 * (3 * n + plan.inner.size)
+            stages = ["dd Bluestein (chirp, inner fft/ifft, chirp)"]
+            children = [inner]
+        return PlanSummary(
+            "DoubleDouble", n, "complex128(dd)", flops, 0, io_dd, stages, children
+        )
+
+    return PlanSummary(type(plan).__name__, n, plan.dtype.name, 0.0, 0, io)
+
+
+def describe(plan) -> str:
+    """Human-readable multi-line plan description."""
+    return summarize(plan).render()

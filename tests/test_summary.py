@@ -1,0 +1,49 @@
+"""Plan summary / cost model tests (SURVEY.md §5 observability)."""
+
+import numpy as np
+
+import fourier_tpu as ft
+from fourier_tpu.plan.summary import describe, summarize
+from fourier_tpu.precision import DdFftPlan
+
+
+def test_stockham_summary():
+    plan = ft.create_fft(4096, backend="stockham", cache=False)
+    s = summarize(plan)
+    assert s.kind == "Stockham"
+    assert s.size == 4096
+    assert len(s.stages) == len(plan.radices)
+    assert s.flops_per_transform > 0
+    assert s.table_bytes > 0
+    assert "radix-" in describe(plan)
+
+
+def test_mxu_summary():
+    plan = ft.create_fft(4096, backend="mxu", cache=False)
+    s = summarize(plan)
+    assert s.kind.startswith("MxuBailey")
+    assert "phase A" in describe(plan)
+    assert s.min_hbm_bytes_per_transform == 2 * 4096 * 8
+
+
+def test_bluestein_summary_nested():
+    plan = ft.create_fft(73, backend="stockham", cache=False)
+    s = summarize(plan)
+    assert s.kind == "Bluestein"
+    assert len(s.children) == 1
+    assert s.children[0].size == 256
+    assert "inner forward FFT" in describe(plan)
+
+
+def test_four_step_summary():
+    plan = ft.create_fft(65536, backend="mxu", cache=False)
+    s = summarize(plan)
+    assert s.kind == "FourStepLocal"
+    assert len(s.children) == 2
+
+
+def test_dd_summary():
+    plan = DdFftPlan(73)
+    s = summarize(plan)
+    assert s.kind == "DoubleDouble"
+    assert s.children and s.children[0].kind == "DoubleDouble"
