@@ -11,7 +11,7 @@ f32/f64 pairs.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

@@ -35,8 +35,6 @@ free), and avoid all relayout costs on the (8,128) tiled layout.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

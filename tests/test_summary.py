@@ -1,7 +1,5 @@
 """Plan summary / cost model tests (SURVEY.md §5 observability)."""
 
-import numpy as np
-
 import fourier_tpu as ft
 from fourier_tpu.plan.summary import describe, summarize
 from fourier_tpu.precision import DdFftPlan
