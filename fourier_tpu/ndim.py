@@ -36,6 +36,13 @@ class NdFftPlan:
         self.plans: Tuple[FftPlan, ...] = tuple(
             create_fft(s, self.dtype, backend=backend) for s in self.shape
         )
+        for p in self.plans:
+            if not hasattr(p, "_apply"):
+                raise NotImplementedError(
+                    f"N-D transforms need a 2-plane plan; got {type(p).__name__}"
+                    " (c128 on TPU uses the 4-plane dd representation — use"
+                    " backend='stockham' on an x64 host, or 1-D DdFftPlan)"
+                )
         self.size = int(np.prod(self.shape))
 
     @property
