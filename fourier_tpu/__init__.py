@@ -31,6 +31,7 @@ from fourier_tpu.plan import (
 from fourier_tpu.plan.serialize import load_plan, plan_to_bytes, save_plan
 from fourier_tpu.plan.summary import describe, summarize
 from fourier_tpu.ndim import NdFftPlan, fft2, fftn, ifft2, ifftn
+from fourier_tpu.utils.helpers import fftfreq, fftshift, ifftshift
 from fourier_tpu.transform import Transform
 
 __version__ = "0.1.0"
@@ -90,12 +91,15 @@ __all__ = [
     "describe",
     "fft",
     "fft2",
+    "fftfreq",
+    "fftshift",
     "fft_planar",
     "fftn",
     "ifft",
     "ifft2",
     "ifft_planar",
     "ifftn",
+    "ifftshift",
     "load_plan",
     "plan_to_bytes",
     "save_plan",

@@ -70,3 +70,20 @@ def test_nd_shape_validation():
         plan.fft(np.zeros((8, 9), np.complex64))
     with pytest.raises(ValueError):
         NdFftPlan(())
+
+
+def test_fftshift_helpers():
+    from fourier_tpu import fftfreq, fftshift, ifftshift
+
+    for n in (8, 9, 16):
+        x = np.arange(n)
+        np.testing.assert_array_equal(np.asarray(fftshift(x)), np.fft.fftshift(x))
+        np.testing.assert_array_equal(
+            np.asarray(ifftshift(fftshift(x))), x
+        )
+        np.testing.assert_allclose(fftfreq(n, d=0.5), np.fft.fftfreq(n, d=0.5))
+    x2 = np.arange(24).reshape(4, 6)
+    np.testing.assert_array_equal(np.asarray(fftshift(x2)), np.fft.fftshift(x2))
+    np.testing.assert_array_equal(
+        np.asarray(fftshift(x2, axes=1)), np.fft.fftshift(x2, axes=1)
+    )
