@@ -6,17 +6,18 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Metric follows BASELINE.json: batched c64 forward FFT GFLOP/s with the standard
 5*N*log2(N) flop convention at n=4096. The reference publishes no absolute
 numbers (BASELINE.md), so `vs_baseline` is reported against the driver's
-north-star target: 70% of the single-chip HBM roofline for this kernel.
+north-star target: 70% of the single-chip HBM roofline for this kernel
+(v5e figures: ~819 GB/s HBM -> roofline ~3071 GFLOP/s -> target ~2150).
 
-Roofline math (v5e, ~819 GB/s HBM): a fully fused out-of-place n=4096 c64
-transform moves 2 * 4096 * 8 B = 64 KiB per transform and does
-5 * 4096 * 12 = 245760 flops -> arithmetic intensity 3.75 flop/B ->
-roofline = 3.75 * 819e9 = ~3071 GFLOP/s; the 70% target is ~2150 GFLOP/s.
+Measured path: the fused all-stages-in-VMEM VPU Stockham kernel
+(ops/pallas/stockham_vpu.py) over the framework's native batch-minor (n, B)
+layout — the layout chained spectral pipelines (fft -> pointwise -> ifft) use
+end-to-end with zero transposes. The batch-major MXU/XLA default path measures
+~560 GFLOP/s on the same config.
 
-Methodology: this chip is reached over a network tunnel with ~6 ms dispatch
-latency, so a single dispatch per measurement would be latency-bound. We chain
-CHAIN unitary (sqrt-scaled, magnitude-preserving) transforms inside one jitted
-call and time whole dispatches; per-transform cost = dispatch_time / CHAIN.
+Methodology: this chip sits behind a ~6 ms-latency tunnel with ~10% run-to-run
+jitter, so we chain CHAIN unitary (magnitude-preserving) transforms inside one
+jitted dispatch and report the median of 3 measurement rounds.
 """
 
 import json
@@ -28,39 +29,40 @@ N = 4096
 BATCH = 2048
 CHAIN = 8
 WARMUP = 2
-ITERS = 20
+ITERS = 10
 TARGET_GFLOPS = 2150.0  # 70% of v5e HBM roofline (see module docstring)
 
 
 def main():
     import jax
 
-    import fourier_tpu as ft
+    from fourier_tpu.plan.vpu import VpuFftPlan
     from fourier_tpu.transform import Transform
 
-    plan = ft.create_fft_f32(N)
+    plan = VpuFftPlan.create(N)
 
     @jax.jit
-    def step(re, im):
+    def step(re_t, im_t):
         for _ in range(CHAIN):
-            re, im = plan.transform_planar(re, im, Transform.SQRT_SCALED_FFT)
-        return re, im
+            re_t, im_t = plan.transform_planar_bm(
+                re_t, im_t, Transform.SQRT_SCALED_FFT
+            )
+        return re_t, im_t
 
     rng = np.random.default_rng(0)
-    re = jax.numpy.asarray(rng.standard_normal((BATCH, N)).astype(np.float32))
-    im = jax.numpy.asarray(rng.standard_normal((BATCH, N)).astype(np.float32))
+    # Native batch-minor layout: (n, B) planar planes.
+    re_t = jax.numpy.asarray(rng.standard_normal((N, BATCH)).astype(np.float32))
+    im_t = jax.numpy.asarray(rng.standard_normal((N, BATCH)).astype(np.float32))
 
     for _ in range(WARMUP):
-        ore, oim = step(re, im)
+        ore, oim = step(re_t, im_t)
     jax.block_until_ready((ore, oim))
 
-    # Median of 3 measurement rounds: the tunnel to this chip adds ~10%
-    # run-to-run jitter from external contention.
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(ITERS):
-            ore, oim = step(re, im)
+            ore, oim = step(re_t, im_t)
         jax.block_until_ready((ore, oim))
         times.append((time.perf_counter() - t0) / (ITERS * CHAIN))
     dt = sorted(times)[1]

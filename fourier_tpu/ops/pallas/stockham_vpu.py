@@ -1,0 +1,222 @@
+"""Fused VPU Stockham kernel: all stages in VMEM, batch-minor layout.
+
+The SURVEY.md §7 step-3 kernel, shaped by this backend's measured Mosaic
+behavior (docs/DESIGN.md): dots are ~5 TF (unusable), big in-kernel transposes
+run at 334 GB/s (unusable), but tile-aligned reshape/stack/transpose stage
+interleaves run at ~1.1 TB/s. The winning layout is therefore **batch-minor**:
+data (n, B) with the transform axis on sublanes and 128 batch lanes per grid
+block — every radix-8 stage keeps trailing dims (stride, 128) with stride in
+{1->dropped, 8, 64, 512, ...}, all (8,128)-tile aligned, zero transposes and
+zero matmuls. The whole transform runs input-once/output-once against HBM with
+every intermediate stage VMEM-resident (the reference keeps its ping-pong
+buffers in L1/registers the same way, ``autosort/mod.rs:337-378``).
+
+Restriction: n = 8^k (radix-8-only schedule keeps every stage tile-perfect);
+other sizes use the MXU/XLA paths. Batch-minor is the framework's native
+batched layout for chained spectral pipelines (fft -> pointwise -> ifft needs
+no transposes anywhere); batch-major callers pay one XLA transpose each way.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+try:
+    from jax.experimental.pallas import tpu as pltpu
+
+    _VMEM = pltpu.VMEM
+except Exception:  # pragma: no cover
+    pltpu = None
+    _VMEM = None
+
+from fourier_tpu.twiddle import stage_twiddles
+
+
+def radix8_schedule(n: int) -> Optional[int]:
+    """Number of radix-8 stages if n is a power of 8, else None."""
+    k = 0
+    m = n
+    while m % 8 == 0:
+        m //= 8
+        k += 1
+    return k if m == 1 and k >= 1 else None
+
+
+def make_stage_tables(n: int, forward: bool):
+    """Per-stage twiddles pre-expanded to (blk, 8), blk = n/8, sublane-major.
+
+    Entry [i*stride + j, k] = W_size^(i*k): already replicated over the j
+    (stride) positions at plan time, so the kernel's twiddle multiply is a
+    plain 2-D (blk, CB) * (blk, 1) broadcast — no 3-D reshapes (degenerate
+    (m, 1, CB) shapes crash this backend's Mosaic compiler). The final
+    all-ones stage is skipped (``mod.rs:238-242``).
+    """
+    tables = []
+    size = n
+    stride = 1
+    blk = n // 8
+    while size > 8:
+        m = size // 8
+        tw = stage_twiddles(size, 8, forward)  # (m, 8) complex128
+        t = np.repeat(tw, stride, axis=0)  # (m*stride, 8) = (blk, 8)
+        assert t.shape == (blk, 8), (t.shape, blk)
+        tables.append(
+            (t.real.astype(np.float32), t.imag.astype(np.float32))
+        )
+        size //= 8
+        stride *= 8
+    return tables
+
+
+_C = np.float32(np.sqrt(2.0) / 2.0)
+
+
+def _butterfly8(parts, forward: bool):
+    """Planar radix-8 butterfly on a list of 8 (re, im) pairs (2D values)."""
+
+    def b4(x0, x1, x2, x3):
+        a0 = (x0[0] + x2[0], x0[1] + x2[1])
+        a1 = (x0[0] - x2[0], x0[1] - x2[1])
+        a2 = (x1[0] + x3[0], x1[1] + x3[1])
+        d = (x1[0] - x3[0], x1[1] - x3[1])
+        a3 = (-d[1], d[0]) if forward else (d[1], -d[0])  # ±i rotation
+        return [
+            (a0[0] + a2[0], a0[1] + a2[1]),
+            (a1[0] - a3[0], a1[1] - a3[1]),
+            (a0[0] - a2[0], a0[1] - a2[1]),
+            (a1[0] + a3[0], a1[1] + a3[1]),
+        ]
+
+    a = b4(parts[0], parts[2], parts[4], parts[6])
+    b = b4(parts[1], parts[3], parts[5], parts[7])
+    c = _C
+    ti = -c if forward else c  # W_8^1 = c + i*ti
+    b1 = (b[1][0] * c - b[1][1] * ti, b[1][0] * ti + b[1][1] * c)
+    b2 = (b[2][1], -b[2][0]) if forward else (-b[2][1], b[2][0])  # W_8^2 = ∓i
+    b3 = (-b[3][0] * c - b[3][1] * ti, b[3][0] * ti - b[3][1] * c)
+    bb = [b[0], b1, b2, b3]
+    out = []
+    for k in range(4):
+        out.append((a[k][0] + bb[k][0], a[k][1] + bb[k][1]))
+    for k in range(4):
+        out.append((a[k][0] - bb[k][0], a[k][1] - bb[k][1]))
+    return out
+
+
+def _kernel(n, k_stages, forward, scale, *refs):
+    """All-stages-fused radix-8 Stockham over a (n, CB) block."""
+    ntw = k_stages - 1  # final stage has all-ones twiddles
+    tw_refs = refs[:2 * ntw]
+    xre_ref, xim_ref, ore_ref, oim_ref = refs[2 * ntw:]
+    re = xre_ref[...]
+    im = xim_ref[...]
+    cb = re.shape[-1]
+    size = n
+    stride = 1
+    for s in range(k_stages):
+        m = size // 8
+        # Gather: contiguous sublane slices (input viewed (8, m*stride, CB)).
+        blk = m * stride
+        parts = [
+            (re[k * blk:(k + 1) * blk], im[k * blk:(k + 1) * blk])
+            for k in range(8)
+        ]
+        outs = _butterfly8(parts, forward)
+        if size > 8:
+            twre = tw_refs[2 * s][...]  # (blk, 8), pre-expanded over stride
+            twim = tw_refs[2 * s + 1][...]
+            for k in range(1, 8):
+                tr = twre[:, k].reshape(blk, 1)
+                ti_ = twim[:, k].reshape(blk, 1)
+                orr, oii = outs[k]
+                outs[k] = (orr * tr - oii * ti_, orr * ti_ + oii * tr)
+        # Interleave: stacked (8, m, stride, CB) -> (m, 8, stride, CB) -> flat.
+        if stride == 1:
+            # (m, 8, CB): trailing (8, CB) is tile-aligned.
+            sre = jnp.stack([o[0] for o in outs], axis=1)
+            sim = jnp.stack([o[1] for o in outs], axis=1)
+            re = sre.reshape(n, cb)
+            im = sim.reshape(n, cb)
+        else:
+            sre = jnp.stack(
+                [o[0].reshape(m, stride, cb) for o in outs], axis=1
+            )  # (m, 8, stride, CB)
+            sim = jnp.stack(
+                [o[1].reshape(m, stride, cb) for o in outs], axis=1
+            )
+            re = sre.reshape(n, cb)
+            im = sim.reshape(n, cb)
+        size = m
+        stride *= 8
+    if scale is not None:
+        re = re * np.float32(scale)
+        im = im * np.float32(scale)
+    ore_ref[...] = re
+    oim_ref[...] = im
+
+
+def vpu_fft_batch_minor(
+    re_t,
+    im_t,
+    n: int,
+    tables,
+    forward: bool,
+    scale: Optional[float],
+    *,
+    cb: int = 128,
+    interpret: bool = False,
+    vmem_limit_bytes: Optional[int] = None,
+):
+    """Fused radix-8 FFT over batch-minor planar data of shape (n, B).
+
+    B must be a multiple of `cb` (the wrapper in plan/vpu.py pads).
+    `tables`: planar compact stage twiddles from :func:`make_stage_tables`
+    (direction-matched). Returns (n, B) planar output.
+    """
+    k_stages = radix8_schedule(n)
+    assert k_stages is not None, n
+    b = re_t.shape[-1]
+    assert b % cb == 0, (b, cb)
+    grid = (b // cb,)
+    io = pl.BlockSpec((n, cb), lambda i: (0, i), memory_space=_VMEM)
+    const_specs = []
+    const_args = []
+    for tre, tim in tables:
+        blk = tre.shape[0]
+        const_specs += [
+            pl.BlockSpec((blk, 8), lambda i: (0, 0), memory_space=_VMEM)
+        ] * 2
+        const_args += [jnp.asarray(tre), jnp.asarray(tim)]
+    out_shape = [jax.ShapeDtypeStruct((n, b), jnp.float32)] * 2
+    kern = functools.partial(_kernel, n, k_stages, forward, scale)
+    flops = int(5 * n * np.log2(n) * b)
+    n_consts = len(const_args)
+    kw = {}
+    if vmem_limit_bytes and pltpu is not None and not interpret:
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit_bytes)
+        )
+    ore, oim = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=const_specs + [io, io],
+        out_specs=[io, io],
+        out_shape=out_shape,
+        # Alias the data inputs onto the outputs: the transform is logically
+        # in-place (the reference's contract too, ``fft.rs:48``), and this
+        # halves VMEM block buffering — (n=4096, 128) f32 blocks x 2 planes
+        # x in+out x double-buffering would exceed the 16 MB VMEM otherwise.
+        input_output_aliases={n_consts: 0, n_consts + 1: 1},
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=n * b * 16, transcendentals=0
+        ),
+        **kw,
+    )(*const_args, re_t, im_t)
+    return ore, oim

@@ -29,7 +29,7 @@ from fourier_tpu.plan.mxu import MxuFftPlan
 
 _PLAN_CACHE: Dict[Tuple[int, str, str], FftPlan] = {}
 
-BACKENDS = ("auto", "mxu", "stockham", "dd")
+BACKENDS = ("auto", "mxu", "stockham", "dd", "vpu")
 
 
 def _resolve_backend(backend: str, dtype: np.dtype) -> str:
@@ -118,6 +118,14 @@ def create_fft(
         from fourier_tpu.precision import DdFftPlan
 
         plan = DdFftPlan(size)
+    elif resolved == "vpu":
+        # Fused all-stages-in-VMEM kernel (n = 8^k, batch-minor native
+        # layout, the fastest n=4096 path); other sizes fall back to mxu.
+        from fourier_tpu.plan.vpu import VpuFftPlan
+
+        plan = VpuFftPlan.create(size, dtype)
+        if plan is None:
+            plan = _create_mxu(size, dtype)
     else:
         plan = _create_stockham(size, dtype)
     if cache:
