@@ -48,6 +48,22 @@ def radix8_schedule(n: int) -> Optional[int]:
     return k if m == 1 and k >= 1 else None
 
 
+def radix_schedule(n: int) -> Optional[Sequence[int]]:
+    """Stage radices for n = 8^k: greedy 64s then 8s.
+
+    Radix-64 stages halve the number of interleave/twiddle memory passes —
+    the kernel's bottleneck — because the 64-point butterfly's internal 8x8
+    exchange is pure register-level value shuffling with constant twiddles.
+    """
+    k = radix8_schedule(n)
+    if k is None:
+        return None
+    sched = [64] * (k // 2)
+    if k % 2:
+        sched.append(8)
+    return sched
+
+
 def make_stage_tables(n: int, forward: bool):
     """Per-stage twiddles pre-expanded to (blk, 8), blk = n/8, sublane-major.
 
@@ -60,17 +76,17 @@ def make_stage_tables(n: int, forward: bool):
     tables = []
     size = n
     stride = 1
-    blk = n // 8
-    while size > 8:
-        m = size // 8
-        tw = stage_twiddles(size, 8, forward)  # (m, 8) complex128
-        t = np.repeat(tw, stride, axis=0)  # (m*stride, 8) = (blk, 8)
-        assert t.shape == (blk, 8), (t.shape, blk)
+    for r in radix_schedule(n):
+        if size == r:
+            break  # final stage: all-ones twiddles, skipped
+        m = size // r
+        tw = stage_twiddles(size, r, forward)  # (m, r) complex128
+        t = np.repeat(tw, stride, axis=0)  # (m*stride, r) = (n/r, r)
         tables.append(
             (t.real.astype(np.float32), t.imag.astype(np.float32))
         )
-        size //= 8
-        stride *= 8
+        size //= r
+        stride *= r
     return tables
 
 
@@ -109,9 +125,48 @@ def _butterfly8(parts, forward: bool):
     return out
 
 
-def _kernel(n, k_stages, forward, scale, *refs):
-    """All-stages-fused radix-8 Stockham over a (n, CB) block."""
-    ntw = k_stages - 1  # final stage has all-ones twiddles
+_W64 = {
+    True: np.exp(-2j * np.pi * np.arange(64) / 64.0),
+    False: np.exp(2j * np.pi * np.arange(64) / 64.0),
+}
+
+
+def _butterfly64(parts, forward: bool):
+    """64-point DFT as 8x8 Cooley-Tukey entirely in registers.
+
+    X[k1 + 8*k2] = butterfly8_r( G_r[k1] * W64^(r*k1) )[k2], with
+    G_r = butterfly8 over parts[8*q2 + r]. The inter-level exchange is pure
+    Python list shuffling of SSA values — no Mosaic relayouts — and the W64
+    twiddles are compile-time constants, so a radix-64 stage costs one
+    interleave pass where two radix-8 stages would cost two plus a
+    table-twiddle pass.
+    """
+    w = _W64[forward]
+    g = [_butterfly8([parts[8 * q2 + r] for q2 in range(8)], forward)
+         for r in range(8)]  # g[r][k1]
+    out = [None] * 64
+    for k1 in range(8):
+        col = []
+        for r in range(8):
+            if r * k1 % 64 == 0:
+                col.append(g[r][k1])
+            else:
+                c = w[(r * k1) % 64]
+                cr, ci = np.float32(c.real), np.float32(c.imag)
+                gr, gi = g[r][k1]
+                col.append((gr * cr - gi * ci, gr * ci + gi * cr))
+        res = _butterfly8(col, forward)
+        for k2 in range(8):
+            out[k1 + 8 * k2] = res[k2]
+    return out
+
+
+_BUTTERFLIES = {8: _butterfly8, 64: _butterfly64}
+
+
+def _kernel(n, schedule, forward, scale, *refs):
+    """All-stages-fused Stockham over a (n, CB) block (radices 8 / 64)."""
+    ntw = len(schedule) - 1  # final stage has all-ones twiddles
     tw_refs = refs[:2 * ntw]
     xre_ref, xim_ref, ore_ref, oim_ref = refs[2 * ntw:]
     re = xre_ref[...]
@@ -119,26 +174,26 @@ def _kernel(n, k_stages, forward, scale, *refs):
     cb = re.shape[-1]
     size = n
     stride = 1
-    for s in range(k_stages):
-        m = size // 8
-        # Gather: contiguous sublane slices (input viewed (8, m*stride, CB)).
+    for s, r in enumerate(schedule):
+        m = size // r
+        # Gather: contiguous sublane slices (input viewed (r, m*stride, CB)).
         blk = m * stride
         parts = [
             (re[k * blk:(k + 1) * blk], im[k * blk:(k + 1) * blk])
-            for k in range(8)
+            for k in range(r)
         ]
-        outs = _butterfly8(parts, forward)
-        if size > 8:
-            twre = tw_refs[2 * s][...]  # (blk, 8), pre-expanded over stride
+        outs = _BUTTERFLIES[r](parts, forward)
+        if s < ntw:
+            twre = tw_refs[2 * s][...]  # (blk, r), pre-expanded over stride
             twim = tw_refs[2 * s + 1][...]
-            for k in range(1, 8):
+            for k in range(1, r):
                 tr = twre[:, k].reshape(blk, 1)
                 ti_ = twim[:, k].reshape(blk, 1)
                 orr, oii = outs[k]
                 outs[k] = (orr * tr - oii * ti_, orr * ti_ + oii * tr)
-        # Interleave: stacked (8, m, stride, CB) -> (m, 8, stride, CB) -> flat.
+        # Interleave: stacked (r, m, stride, CB) -> (m, r, stride, CB) -> flat.
         if stride == 1:
-            # (m, 8, CB): trailing (8, CB) is tile-aligned.
+            # (m, r, CB): trailing (r, CB) is tile-aligned.
             sre = jnp.stack([o[0] for o in outs], axis=1)
             sim = jnp.stack([o[1] for o in outs], axis=1)
             re = sre.reshape(n, cb)
@@ -146,14 +201,14 @@ def _kernel(n, k_stages, forward, scale, *refs):
         else:
             sre = jnp.stack(
                 [o[0].reshape(m, stride, cb) for o in outs], axis=1
-            )  # (m, 8, stride, CB)
+            )  # (m, r, stride, CB)
             sim = jnp.stack(
                 [o[1].reshape(m, stride, cb) for o in outs], axis=1
             )
             re = sre.reshape(n, cb)
             im = sim.reshape(n, cb)
         size = m
-        stride *= 8
+        stride *= r
     if scale is not None:
         re = re * np.float32(scale)
         im = im * np.float32(scale)
@@ -179,8 +234,8 @@ def vpu_fft_batch_minor(
     `tables`: planar compact stage twiddles from :func:`make_stage_tables`
     (direction-matched). Returns (n, B) planar output.
     """
-    k_stages = radix8_schedule(n)
-    assert k_stages is not None, n
+    schedule = radix_schedule(n)
+    assert schedule is not None, n
     b = re_t.shape[-1]
     assert b % cb == 0, (b, cb)
     grid = (b // cb,)
@@ -188,13 +243,13 @@ def vpu_fft_batch_minor(
     const_specs = []
     const_args = []
     for tre, tim in tables:
-        blk = tre.shape[0]
+        shp = tre.shape
         const_specs += [
-            pl.BlockSpec((blk, 8), lambda i: (0, 0), memory_space=_VMEM)
+            pl.BlockSpec(shp, lambda i: (0, 0), memory_space=_VMEM)
         ] * 2
         const_args += [jnp.asarray(tre), jnp.asarray(tim)]
     out_shape = [jax.ShapeDtypeStruct((n, b), jnp.float32)] * 2
-    kern = functools.partial(_kernel, n, k_stages, forward, scale)
+    kern = functools.partial(_kernel, n, tuple(schedule), forward, scale)
     flops = int(5 * n * np.log2(n) * b)
     n_consts = len(const_args)
     kw = {}
