@@ -49,18 +49,33 @@ def radix8_schedule(n: int) -> Optional[int]:
 
 
 def radix_schedule(n: int) -> Optional[Sequence[int]]:
-    """Stage radices for n = 8^k: greedy 64s then 8s.
+    """Stage radices for powers of two, 64 <= n <= 8192.
 
-    Radix-64 stages halve the number of interleave/twiddle memory passes —
-    the kernel's bottleneck — because the 64-point butterfly's internal 8x8
-    exchange is pure register-level value shuffling with constant twiddles.
+    Greedy radix-64 stages (the 64-point butterfly's internal 8x8 exchange is
+    pure register-level value shuffling with constant twiddles, halving the
+    interleave/twiddle memory passes), then one {8, 4, 2} remainder stage
+    LAST — the first stage must have radix >= 8 so every later stage's
+    interleave stride is a multiple of 8 (tile-aligned), and slices must be
+    >= 8 sublanes (n >= 64). The upper bound keeps (n, 128) f32 blocks
+    within VMEM.
     """
-    k = radix8_schedule(n)
-    if k is None:
+    if n < 64 or n > 8192 or n & (n - 1):
         return None
-    sched = [64] * (k // 2)
-    if k % 2:
+    sched = []
+    m = n
+    # First-stage slices are n/r rows; keep >= 8 rows (sublane tile) so use
+    # radix 64 only when n >= 512.
+    first = 64 if n >= 512 else 8
+    sched.append(first)
+    m //= first
+    while m >= 64:
+        sched.append(64)
+        m //= 64
+    while m >= 8:
         sched.append(8)
+        m //= 8
+    if m > 1:
+        sched.append(int(m))
     return sched
 
 
@@ -161,7 +176,27 @@ def _butterfly64(parts, forward: bool):
     return out
 
 
-_BUTTERFLIES = {8: _butterfly8, 64: _butterfly64}
+def _butterfly2(parts, forward: bool):
+    del forward
+    (ar, ai), (br, bi) = parts
+    return [(ar + br, ai + bi), (ar - br, ai - bi)]
+
+
+def _butterfly4(parts, forward: bool):
+    a0 = (parts[0][0] + parts[2][0], parts[0][1] + parts[2][1])
+    a1 = (parts[0][0] - parts[2][0], parts[0][1] - parts[2][1])
+    a2 = (parts[1][0] + parts[3][0], parts[1][1] + parts[3][1])
+    d = (parts[1][0] - parts[3][0], parts[1][1] - parts[3][1])
+    a3 = (-d[1], d[0]) if forward else (d[1], -d[0])
+    return [
+        (a0[0] + a2[0], a0[1] + a2[1]),
+        (a1[0] - a3[0], a1[1] - a3[1]),
+        (a0[0] - a2[0], a0[1] - a2[1]),
+        (a1[0] + a3[0], a1[1] + a3[1]),
+    ]
+
+
+_BUTTERFLIES = {2: _butterfly2, 4: _butterfly4, 8: _butterfly8, 64: _butterfly64}
 
 
 def _kernel(n, schedule, forward, scale, *refs):

@@ -1,4 +1,4 @@
-"""VPU-fused Stockham plan: batch-minor fast path for n = 8^k.
+"""VPU-fused Stockham plan: batch-minor fast path for powers of two.
 
 Wraps ops/pallas/stockham_vpu.py as a plan. The native entry point is
 :meth:`transform_planar_bm` on batch-minor (n, B) planes — the layout that
@@ -22,7 +22,7 @@ from fourier_tpu.transform import Transform
 
 @jax.tree_util.register_pytree_node_class
 class VpuFftPlan(FftPlan):
-    """Fused-VPU radix-8 plan (n = 8^k), batch-minor native layout."""
+    """Fused-VPU mixed radix-64/8/4/2 plan (n = 2^a, 64..8192), batch-minor."""
 
     def __init__(self, size, dtype, fwd_tables, inv_tables, cb=128,
                  interpret=False, vmem_limit_bytes=None):
@@ -40,7 +40,7 @@ class VpuFftPlan(FftPlan):
                vmem_limit_bytes: Optional[int] = None) -> Optional["VpuFftPlan"]:
         if np.dtype(dtype) != np.dtype(np.complex64):
             return None
-        if stockham_vpu.radix8_schedule(size) is None:
+        if stockham_vpu.radix_schedule(size) is None:
             return None
         if interpret is None:
             interpret = jax.default_backend() != "tpu"

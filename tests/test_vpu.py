@@ -11,7 +11,7 @@ import pytest
 
 import fourier_tpu as ft
 from fourier_tpu import Transform
-from fourier_tpu.ops.pallas.stockham_vpu import radix8_schedule
+from fourier_tpu.ops.pallas.stockham_vpu import radix8_schedule  # noqa: F401
 from fourier_tpu.plan.vpu import VpuFftPlan
 from fourier_tpu.utils import oracle_transform
 
@@ -24,16 +24,25 @@ def _rand(shape, rng):
     ).astype(np.complex64)
 
 
-def test_radix8_schedule():
-    assert radix8_schedule(8) == 1
-    assert radix8_schedule(64) == 2
-    assert radix8_schedule(512) == 3
-    assert radix8_schedule(4096) == 4
-    for n in (1, 2, 4, 16, 128, 100, 4095):
-        assert radix8_schedule(n) is None
+def test_radix_schedule():
+    from fourier_tpu.ops.pallas.stockham_vpu import radix_schedule
+
+    assert radix_schedule(64) == [8, 8]
+    assert radix_schedule(128) == [8, 8, 2]
+    assert radix_schedule(256) == [8, 8, 4]
+    assert radix_schedule(512) == [64, 8]
+    assert radix_schedule(1024) == [64, 8, 2]
+    assert radix_schedule(4096) == [64, 64]
+    assert radix_schedule(8192) == [64, 64, 2]
+    for n in (1, 8, 16, 32, 100, 4095, 16384):
+        assert radix_schedule(n) is None
+    for n in (64, 128, 256, 512, 1024, 2048, 4096, 8192):
+        sched = radix_schedule(n)
+        assert int(np.prod(sched)) == n
+        assert n // sched[0] >= 8  # first-stage slices >= 8 sublanes
 
 
-@pytest.mark.parametrize("n", [64, 512, 4096])
+@pytest.mark.parametrize("n", [64, 128, 256, 512, 1024, 4096])
 def test_vpu_batch_minor_vs_oracle(n):
     rng = np.random.default_rng(RNG_SEED + n)
     plan = VpuFftPlan.create(n)
@@ -112,5 +121,6 @@ def test_planner_vpu_backend():
 
 def test_vpu_unsupported_sizes():
     assert VpuFftPlan.create(100) is None
-    assert VpuFftPlan.create(128) is None
+    assert VpuFftPlan.create(32) is None
+    assert VpuFftPlan.create(16384) is None
     assert VpuFftPlan.create(64, np.complex128) is None
