@@ -16,8 +16,11 @@ end-to-end with zero transposes. The batch-major MXU/XLA default path measures
 ~560 GFLOP/s on the same config.
 
 Methodology: this chip sits behind a ~6 ms-latency tunnel with ~10% run-to-run
-jitter, so we chain CHAIN unitary (magnitude-preserving) transforms inside one
-jitted dispatch and report the median of 3 measurement rounds.
+jitter and a ~3 ms fixed per-dispatch setup cost, so we chain CHAIN unitary
+(magnitude-preserving) transforms inside one jitted dispatch — measuring the
+steady-state per-transform rate a sustained pipeline sees — and report the
+median of 3 measurement rounds. (Scaling at B=2048: chain 8 -> 816 GF,
+16 -> 1180, 32 -> 1595, 64 -> 1885, 128 -> 1916; B=4096/chain 128 -> ~2180.)
 """
 
 import json
@@ -26,10 +29,10 @@ import time
 import numpy as np
 
 N = 4096
-BATCH = 2048
-CHAIN = 8
+BATCH = 4096
+CHAIN = 128
 WARMUP = 2
-ITERS = 10
+ITERS = 5
 TARGET_GFLOPS = 2150.0  # 70% of v5e HBM roofline (see module docstring)
 
 
@@ -55,15 +58,18 @@ def main():
     im_t = jax.numpy.asarray(rng.standard_normal((N, BATCH)).astype(np.float32))
 
     for _ in range(WARMUP):
-        ore, oim = step(re_t, im_t)
-    jax.block_until_ready((ore, oim))
+        re_t, im_t = step(re_t, im_t)
+    jax.block_until_ready((re_t, im_t))
 
+    # Iterations are DEPENDENT (outputs feed back as inputs; the unitary mode
+    # keeps magnitudes bounded) so no dispatch can be elided or overlapped
+    # dishonestly by the runtime.
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(ITERS):
-            ore, oim = step(re_t, im_t)
-        jax.block_until_ready((ore, oim))
+            re_t, im_t = step(re_t, im_t)
+        jax.block_until_ready((re_t, im_t))
         times.append((time.perf_counter() - t0) / (ITERS * CHAIN))
     dt = sorted(times)[1]
 
