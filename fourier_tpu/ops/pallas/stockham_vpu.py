@@ -20,7 +20,7 @@ no transposes anywhere); batch-major callers pay one XLA transpose each way.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

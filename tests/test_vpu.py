@@ -11,7 +11,6 @@ import pytest
 
 import fourier_tpu as ft
 from fourier_tpu import Transform
-from fourier_tpu.ops.pallas.stockham_vpu import radix8_schedule  # noqa: F401
 from fourier_tpu.plan.vpu import VpuFftPlan
 from fourier_tpu.utils import oracle_transform
 
