@@ -11,8 +11,9 @@ zero matmuls. The whole transform runs input-once/output-once against HBM with
 every intermediate stage VMEM-resident (the reference keeps its ping-pong
 buffers in L1/registers the same way, ``autosort/mod.rs:337-378``).
 
-Restriction: n = 8^k (radix-8-only schedule keeps every stage tile-perfect);
-other sizes use the MXU/XLA paths. Batch-minor is the framework's native
+Restriction: powers of two with 64 <= n <= 8192 (mixed radix-64/8/4/2
+schedules keep every stage tile-aligned; see radix_schedule); other sizes use
+the MXU/XLA paths. Batch-minor is the framework's native
 batched layout for chained spectral pipelines (fft -> pointwise -> ifft needs
 no transposes anywhere); batch-major callers pay one XLA transpose each way.
 """
@@ -80,7 +81,7 @@ def radix_schedule(n: int) -> Optional[Sequence[int]]:
 
 
 def make_stage_tables(n: int, forward: bool):
-    """Per-stage twiddles pre-expanded to (blk, 8), blk = n/8, sublane-major.
+    """Per-stage twiddles pre-expanded to (n/r, r), sublane-major.
 
     Entry [i*stride + j, k] = W_size^(i*k): already replicated over the j
     (stride) positions at plan time, so the kernel's twiddle multiply is a
@@ -200,7 +201,7 @@ _BUTTERFLIES = {2: _butterfly2, 4: _butterfly4, 8: _butterfly8, 64: _butterfly64
 
 
 def _kernel(n, schedule, forward, scale, *refs):
-    """All-stages-fused Stockham over a (n, CB) block (radices 8 / 64)."""
+    """All-stages-fused Stockham over a (n, CB) block (radices 2/4/8/64)."""
     ntw = len(schedule) - 1  # final stage has all-ones twiddles
     tw_refs = refs[:2 * ntw]
     xre_ref, xim_ref, ore_ref, oim_ref = refs[2 * ntw:]
