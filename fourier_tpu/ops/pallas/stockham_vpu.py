@@ -39,16 +39,6 @@ except Exception:  # pragma: no cover
 from fourier_tpu.twiddle import stage_twiddles
 
 
-def radix8_schedule(n: int) -> Optional[int]:
-    """Number of radix-8 stages if n is a power of 8, else None."""
-    k = 0
-    m = n
-    while m % 8 == 0:
-        m //= 8
-        k += 1
-    return k if m == 1 and k >= 1 else None
-
-
 def radix_schedule(n: int) -> Optional[Sequence[int]]:
     """Stage radices for powers of two, 64 <= n <= 8192.
 
