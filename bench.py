@@ -39,10 +39,15 @@ TARGET_GFLOPS = 2150.0  # 70% of v5e HBM roofline (see module docstring)
 def main():
     import jax
 
-    from fourier_tpu.plan.vpu import VpuFftPlan
+    import fourier_tpu as ft
     from fourier_tpu.transform import Transform
 
-    plan = VpuFftPlan.create(N)
+    # The DEFAULT planner: backend='auto' resolves to the fused VPU kernel on
+    # TPU, so the headline number is what every ordinary user gets.
+    plan = ft.create_fft_f32(N)
+    assert hasattr(plan, "transform_planar_bm"), (
+        "expected the fused batch-minor plan on TPU; got " + repr(plan)
+    )
 
     @jax.jit
     def step(re_t, im_t):

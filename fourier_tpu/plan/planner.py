@@ -3,13 +3,20 @@
 Mirrors ``fourier/src/lib.rs:31-60`` — pick the best plan family per size —
 widened with a TPU-native backend axis:
 
+* ``vpu``      — fused all-stages-in-VMEM Pallas VPU kernel (powers of two,
+                 64..8192); other sizes compose through four-step / Bluestein
+                 with vpu-first sub-plans, falling back to ``mxu``. The
+                 fastest path on this chip (~3x mxu even batch-major).
 * ``mxu``      — fused Pallas MXU kernels (ops/pallas/bailey.py): any
                  n = n1*n2 with n1, n2 <= 128 (c64 only); other sizes via
                  Bluestein with an MXU inner plan.
 * ``stockham`` — pure-XLA planar Stockham autosort (2^a*3^b) + Bluestein:
                  the reference-faithful path; runs on any backend, supports
-                 c128, and is the differential-test oracle for ``mxu``.
-* ``auto``     — ``mxu`` on a TPU default backend for c64, else ``stockham``.
+                 c128, and is the differential-test oracle for ``mxu``/``vpu``.
+* ``auto``     — ``vpu`` on a TPU default backend for c64 (the default
+                 planner picks the fastest kernel, like the reference's
+                 runtime planner ``fourier/src/lib.rs:31-43``), else
+                 ``stockham``.
 
 Plans are cached per (size, dtype, resolved backend): creating a plan costs
 O(N) f64 trig plus a plan-time numpy FFT for Bluestein sizes, and plan reuse
@@ -41,7 +48,7 @@ def _resolve_backend(backend: str, dtype: np.dtype) -> str:
 
     if dtype == np.dtype(np.complex64):
         if jax.default_backend() == "tpu":
-            return "mxu"
+            return "vpu"
         return "stockham"
     # complex128: native f64 Stockham where x64 is available (CPU), else the
     # double-word f32 emulation (TPU has no f64 at all).
@@ -57,18 +64,27 @@ def _create_stockham(size: int, dtype: np.dtype) -> FftPlan:
     return plan
 
 
-def _create_mxu_composite(size: int, dtype: np.dtype):
-    """Best matmul-family plan for a composite size, or None (primes etc.).
+def _create_mxu_composite(size: int, dtype: np.dtype, *, vpu_first: bool = False):
+    """Best fused-kernel plan for a composite size, or None (primes etc.).
 
-    MxuFftPlan directly for n = n1*n2 (n1, n2 <= 128); larger composites
-    recurse through single-chip four-step composition (n = p*q with p, q
-    <= 16384 each themselves mxu/four-step plans) up to n = 16384^2.
+    With ``vpu_first`` the fused VPU kernel is preferred wherever its size
+    restriction allows (powers of two 64..8192), including recursively for
+    four-step sub-plans. Otherwise/next: MxuFftPlan directly for n = n1*n2
+    (n1, n2 <= 128); larger composites recurse through single-chip four-step
+    composition (n = p*q with p, q <= 16384 each themselves fused/four-step
+    plans) up to n = 16384^2.
     """
     from fourier_tpu.plan.four_step_local import (
         FourStepLocalPlan,
         choose_large_split,
     )
 
+    if vpu_first:
+        from fourier_tpu.plan.vpu import VpuFftPlan
+
+        plan = VpuFftPlan.create(size, dtype)
+        if plan is not None:
+            return plan
     plan = MxuFftPlan.create(size, dtype)
     if plan is not None:
         return plan
@@ -76,20 +92,21 @@ def _create_mxu_composite(size: int, dtype: np.dtype):
     if split is None:
         return None
     factory = lambda m, dt: (
-        _create_mxu_composite(m, dt) or _create_stockham(m, dt)
+        _create_mxu_composite(m, dt, vpu_first=vpu_first)
+        or _create_stockham(m, dt)
     )
     return FourStepLocalPlan.create(size, dtype, split[0], split[1], factory)
 
 
-def _create_mxu(size: int, dtype: np.dtype) -> FftPlan:
-    plan = _create_mxu_composite(size, dtype)
+def _create_mxu(size: int, dtype: np.dtype, *, vpu_first: bool = False) -> FftPlan:
+    plan = _create_mxu_composite(size, dtype, vpu_first=vpu_first)
     if plan is not None:
         return plan
 
     # No usable divisor structure (large primes): Bluestein, whose
-    # power-of-two inner always has a matmul-family plan.
+    # power-of-two inner always has a fused-kernel plan.
     def inner_factory(m, dt):
-        inner = _create_mxu_composite(m, dt)
+        inner = _create_mxu_composite(m, dt, vpu_first=vpu_first)
         return inner if inner is not None else AutosortPlan.create(m, dt)
 
     return BluesteinPlan.create(size, dtype, inner_factory=inner_factory)
@@ -103,8 +120,10 @@ def create_fft(
     if dtype not in (np.dtype(np.complex64), np.dtype(np.complex128)):
         raise ValueError(f"unsupported dtype {dtype}; use complex64 or complex128")
     resolved = _resolve_backend(backend, dtype)
-    if resolved == "mxu" and dtype != np.dtype(np.complex64):
-        raise ValueError("backend='mxu' supports complex64 only (c128: dd/stockham)")
+    if resolved in ("mxu", "vpu") and dtype != np.dtype(np.complex64):
+        raise ValueError(
+            f"backend={resolved!r} supports complex64 only (c128: dd/stockham)"
+        )
     if resolved == "dd" and dtype != np.dtype(np.complex128):
         raise ValueError("backend='dd' is the complex128 emulation path")
     if resolved == "stockham" and dtype == np.dtype(np.complex128):
@@ -119,13 +138,15 @@ def create_fft(
 
         plan = DdFftPlan(size)
     elif resolved == "vpu":
-        # Fused all-stages-in-VMEM kernel (n = 8^k, batch-minor native
-        # layout, the fastest n=4096 path); other sizes fall back to mxu.
+        # Fused all-stages-in-VMEM kernel (powers of two 64..8192, batch-minor
+        # native layout — the fastest path on this chip); other sizes compose
+        # through four-step / Bluestein with vpu-first sub-plans, falling back
+        # to the MXU family.
         from fourier_tpu.plan.vpu import VpuFftPlan
 
         plan = VpuFftPlan.create(size, dtype)
         if plan is None:
-            plan = _create_mxu(size, dtype)
+            plan = _create_mxu(size, dtype, vpu_first=True)
     else:
         plan = _create_stockham(size, dtype)
     if cache:
