@@ -11,9 +11,10 @@ zero matmuls. The whole transform runs input-once/output-once against HBM with
 every intermediate stage VMEM-resident (the reference keeps its ping-pong
 buffers in L1/registers the same way, ``autosort/mod.rs:337-378``).
 
-Restriction: powers of two with 64 <= n <= 8192 (mixed radix-64/8/4/2
-schedules keep every stage tile-aligned; see radix_schedule); other sizes use
-the MXU/XLA paths. Batch-minor is the framework's native
+Restriction: n = 2^a * 3^b with 8 | n and 64 <= n <= 8192 (mixed
+radix-64/8/4/3/2 schedules with a leading pow2 stage keep every stage's
+interleave stride 8-aligned; see radix_schedule); other sizes use the MXU/XLA
+paths. Batch-minor is the framework's native
 batched layout for chained spectral pipelines (fft -> pointwise -> ifft needs
 no transposes anywhere); batch-major callers pay one XLA transpose each way.
 """
@@ -40,33 +41,44 @@ from fourier_tpu.twiddle import stage_twiddles
 
 
 def radix_schedule(n: int) -> Optional[Sequence[int]]:
-    """Stage radices for powers of two, 64 <= n <= 8192.
+    """Stage radices for n = 2^a * 3^b with 8 | n, 64 <= n <= 8192.
 
     Greedy radix-64 stages (the 64-point butterfly's internal 8x8 exchange is
     pure register-level value shuffling with constant twiddles, halving the
-    interleave/twiddle memory passes), then one {8, 4, 2} remainder stage
-    LAST — the first stage must have radix >= 8 so every later stage's
-    interleave stride is a multiple of 8 (tile-aligned), and slices must be
-    >= 8 sublanes (n >= 64). The upper bound keeps (n, 128) f32 blocks
+    interleave/twiddle memory passes), then radix-8s, one {4, 2} remainder
+    stage, then radix-3 stages LAST. The first stage must be a power of two
+    >= 8 so every later stage's interleave stride is a multiple of 8
+    (tile-aligned) — hence the 8 | n restriction (pure 3^b sizes stay on the
+    MXU family) — and first-stage slices must be >= 8 sublane rows where the
+    divisor structure allows. The upper bound keeps (n, 128) f32 blocks
     within VMEM.
     """
-    if n < 64 or n > 8192 or n & (n - 1):
+    if n < 64 or n > 8192:
         return None
+    pow2 = n
+    threes = 0
+    while pow2 % 3 == 0:
+        pow2 //= 3
+        threes += 1
+    if pow2 & (pow2 - 1):
+        return None  # not 2^a * 3^b
+    if pow2 < 8:
+        return None  # first stage must be a pow2 radix >= 8
     sched = []
-    m = n
-    # First-stage slices are n/r rows; keep >= 8 rows (sublane tile) so use
-    # radix 64 only when n >= 512.
-    first = 64 if n >= 512 else 8
+    # First-stage slices are n/r rows; prefer radix 64 when it keeps >= 8 rows.
+    first = 64 if (pow2 >= 64 and n >= 512) else 8
     sched.append(first)
-    m //= first
-    while m >= 64:
+    m = pow2 // first
+    while m % 64 == 0:
         sched.append(64)
         m //= 64
-    while m >= 8:
+    while m % 8 == 0:
         sched.append(8)
         m //= 8
     if m > 1:
-        sched.append(int(m))
+        sched.append(int(m))  # 4 or 2
+    sched.extend([9] * (threes // 2))
+    sched.extend([3] * (threes % 2))
     return sched
 
 
@@ -173,6 +185,28 @@ def _butterfly2(parts, forward: bool):
     return [(ar + br, ai + bi), (ar - br, ai - bi)]
 
 
+_S3 = np.float32(np.sqrt(3.0) / 2.0)
+
+
+def _butterfly3(parts, forward: bool):
+    """Radix-3 DIT butterfly: y_k = x0 + w^k x1 + w^{2k} x2, w = e^{∓2πi/3}.
+
+    With a = x1 + x2, b = x1 - x2 and w = -1/2 + i*s (s = ∓√3/2):
+    y0 = x0 + a, y{1,2} = (x0 - a/2) ± i*s*b  (``butterfly.rs:9-22`` analog).
+    """
+    (x0r, x0i), (x1r, x1i), (x2r, x2i) = parts
+    s = -_S3 if forward else _S3
+    ar, ai = x1r + x2r, x1i + x2i
+    br, bi = x1r - x2r, x1i - x2i
+    ur, ui = x0r - np.float32(0.5) * ar, x0i - np.float32(0.5) * ai
+    vr, vi = -s * bi, s * br  # i*s*b
+    return [
+        (x0r + ar, x0i + ai),
+        (ur + vr, ui + vi),
+        (ur - vr, ui - vi),
+    ]
+
+
 def _butterfly4(parts, forward: bool):
     a0 = (parts[0][0] + parts[2][0], parts[0][1] + parts[2][1])
     a1 = (parts[0][0] - parts[2][0], parts[0][1] - parts[2][1])
@@ -187,7 +221,45 @@ def _butterfly4(parts, forward: bool):
     ]
 
 
-_BUTTERFLIES = {2: _butterfly2, 4: _butterfly4, 8: _butterfly8, 64: _butterfly64}
+_W9 = {
+    True: np.exp(-2j * np.pi * np.arange(9) / 9.0),
+    False: np.exp(2j * np.pi * np.arange(9) / 9.0),
+}
+
+
+def _butterfly9(parts, forward: bool):
+    """9-point DFT as 3x3 Cooley-Tukey entirely in registers.
+
+    Same exchange pattern as :func:`_butterfly64` one level down: two radix-3
+    levels per memory pass, W9 twiddles as compile-time constants — so a
+    radix-9 stage costs one interleave pass where two radix-3 stages would
+    cost two plus a table-twiddle pass.
+    """
+    w = _W9[forward]
+    g = [_butterfly3([parts[3 * q + r] for q in range(3)], forward)
+         for r in range(3)]  # g[r][k1]
+    out = [None] * 9
+    for k1 in range(3):
+        col = []
+        for r in range(3):
+            t = (r * k1) % 9
+            if t == 0:
+                col.append(g[r][k1])
+            else:
+                c = w[t]
+                cr, ci = np.float32(c.real), np.float32(c.imag)
+                gr, gi = g[r][k1]
+                col.append((gr * cr - gi * ci, gr * ci + gi * cr))
+        res = _butterfly3(col, forward)
+        for k2 in range(3):
+            out[k1 + 3 * k2] = res[k2]
+    return out
+
+
+_BUTTERFLIES = {
+    2: _butterfly2, 3: _butterfly3, 4: _butterfly4, 8: _butterfly8,
+    9: _butterfly9, 64: _butterfly64,
+}
 
 
 def _kernel(n, schedule, forward, scale, *refs):

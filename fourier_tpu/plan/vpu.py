@@ -22,7 +22,8 @@ from fourier_tpu.transform import Transform
 
 @jax.tree_util.register_pytree_node_class
 class VpuFftPlan(FftPlan):
-    """Fused-VPU mixed radix-64/8/4/2 plan (n = 2^a, 64..8192), batch-minor."""
+    """Fused-VPU mixed radix-64/8/4/3/2 plan (n = 2^a*3^b, 8|n, 64..8192),
+    batch-minor."""
 
     def __init__(self, size, dtype, fwd_tables, inv_tables, cb=128,
                  interpret=False, vmem_limit_bytes=None):

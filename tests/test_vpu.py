@@ -1,6 +1,7 @@
 """Fused VPU Stockham kernel tests (interpret mode on CPU).
 
-The all-stages-in-VMEM radix-8 kernel (ops/pallas/stockham_vpu.py), gated
+The all-stages-in-VMEM mixed radix-64/8/4/3/2 (+in-register radix-9) kernel
+(ops/pallas/stockham_vpu.py), gated
 against the oracle in both its native batch-minor layout and the batch-major
 adapter. TPU behavior (compile at 64 MB VMEM, 1.2e-7 rel-L2, ~680 GFLOP/s at
 n=4096) was verified on hardware during development.
@@ -33,15 +34,26 @@ def test_radix_schedule():
     assert radix_schedule(1024) == [64, 8, 2]
     assert radix_schedule(4096) == [64, 64]
     assert radix_schedule(8192) == [64, 64, 2]
-    for n in (1, 8, 16, 32, 100, 4095, 16384):
+    # mixed 2^a * 3^b (8 | n): radix-3/9 stages come last
+    assert radix_schedule(96) == [8, 4, 3]
+    assert radix_schedule(192) == [8, 8, 3]
+    assert radix_schedule(576) == [64, 9]
+    assert radix_schedule(1152) == [64, 2, 9]
+    assert radix_schedule(1728) == [64, 9, 3]
+    assert radix_schedule(6144) == [64, 8, 4, 3]
+    # pure 3^b and 2^a*3^b with fewer than three 2s stay off the VPU kernel
+    # (first stage must be a pow2 radix >= 8; measured slower than MXU with a
+    # radix-9 first stage at n=2187)
+    for n in (1, 8, 16, 32, 100, 4095, 16384, 243, 729, 2187, 12, 48):
         assert radix_schedule(n) is None
-    for n in (64, 128, 256, 512, 1024, 2048, 4096, 8192):
+    for n in (64, 128, 256, 512, 1024, 2048, 4096, 8192,
+              72, 96, 192, 576, 1152, 1536, 1728, 3072, 4608, 6144):
         sched = radix_schedule(n)
         assert int(np.prod(sched)) == n
-        assert n // sched[0] >= 8  # first-stage slices >= 8 sublanes
+        assert sched[0] in (8, 64)  # leading pow2 stage keeps strides aligned
 
 
-@pytest.mark.parametrize("n", [64, 128, 256, 512, 1024, 4096])
+@pytest.mark.parametrize("n", [64, 128, 256, 512, 1024, 4096, 96, 576, 1728])
 def test_vpu_batch_minor_vs_oracle(n):
     rng = np.random.default_rng(RNG_SEED + n)
     plan = VpuFftPlan.create(n)
