@@ -4,57 +4,162 @@ The reference's compile-time planner (``fourier-macros/src/lib.rs:51-60``)
 proves a plan is nothing but (stage structure, twiddle tables, work size) and
 bakes it into the binary. In this framework plans are already immutable
 pytrees of constants, so the same capability is a save/load of the pytree:
-``save_plan`` writes the flattened leaves plus the pickled treedef (which
-carries every static field) to an ``.npz``; ``load_plan`` reconstructs an
-identical plan without re-running any plan-time trigonometry or plan-time
-FFTs. Combined with ``jax.export`` AOT serialization of the jitted execute
-function (covered in tests), this is the full trace-time/compile-time story.
+``save_plan`` writes the flattened array leaves plus a JSON description of the
+static structure to an ``.npz``; ``load_plan`` reconstructs an identical plan
+without re-running any plan-time trigonometry or plan-time FFTs. Combined
+with ``jax.export`` AOT serialization of the jitted execute function (covered
+in tests), this is the full trace-time/compile-time story.
+
+Format (version 2): no pickle anywhere. The structure is a tagged JSON tree —
+plan nodes name their class (resolved against an explicit allowlist registry,
+so loading a file can only ever instantiate plan classes), tuple nodes carry
+their encoded items, and array leaves are indices into the npz's ``leaf_<i>``
+arrays. Static aux data is restricted to JSON scalars and (nested) tuples of
+them. Files from the pickled v1 format are rejected with a clear error.
 """
 
 from __future__ import annotations
 
 import io
-import pickle
+import json
 
-import jax
 import numpy as np
 
 from fourier_tpu.plan.base import FftPlan
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2
+
+
+def _plan_registry():
+    """Explicit allowlist of reconstructable plan classes (name -> class)."""
+    from fourier_tpu.plan.autosort import AutosortPlan
+    from fourier_tpu.plan.bluestein import BluesteinPlan
+    from fourier_tpu.plan.four_step_local import FourStepLocalPlan
+    from fourier_tpu.plan.mxu import MxuFftPlan
+    from fourier_tpu.plan.vpu import VpuFftPlan
+    from fourier_tpu.precision.dd_plan import DdFftPlan
+
+    return {
+        cls.__name__: cls
+        for cls in (
+            AutosortPlan,
+            BluesteinPlan,
+            FourStepLocalPlan,
+            MxuFftPlan,
+            VpuFftPlan,
+            DdFftPlan,
+        )
+    }
+
+
+def _encode_aux(value):
+    """Static (treedef) data -> JSON: scalars pass through, tuples are tagged."""
+    if value is None or isinstance(value, (bool, int, float, str)):
+        return value
+    if isinstance(value, (np.integer, np.floating)):
+        return value.item()
+    if isinstance(value, tuple):
+        return {"__tuple__": [_encode_aux(v) for v in value]}
+    raise TypeError(
+        f"plan aux data of type {type(value).__name__} is not serializable; "
+        "plan classes must keep static structure to scalars and tuples"
+    )
+
+
+def _decode_aux(value):
+    if isinstance(value, dict):
+        return tuple(_decode_aux(v) for v in value["__tuple__"])
+    return value
+
+
+def _encode(node, registry, arrays):
+    cls_name = type(node).__name__
+    if cls_name in registry and type(node) is registry[cls_name]:
+        children, aux = node.tree_flatten()
+        return {
+            "__plan__": cls_name,
+            "aux": _encode_aux(tuple(aux)),
+            "children": [_encode(c, registry, arrays) for c in children],
+        }
+    if isinstance(node, (tuple, list)):
+        return {"__tuple__": [_encode(c, registry, arrays) for c in node]}
+    if node is None:
+        return None
+    # Array leaf (jax or numpy).
+    idx = len(arrays)
+    arrays.append(np.asarray(node))
+    return {"__leaf__": idx}
+
+
+def _decode(node, registry, leaves):
+    import jax
+
+    if node is None:
+        return None
+    if "__plan__" in node:
+        name = node["__plan__"]
+        if name not in registry:
+            raise ValueError(f"unknown plan class {name!r} in plan file")
+        cls = registry[name]
+        aux = _decode_aux(node["aux"])
+        children = tuple(
+            _decode(c, registry, leaves) for c in node["children"]
+        )
+        return cls.tree_unflatten(aux, children)
+    if "__tuple__" in node:
+        return tuple(_decode(c, registry, leaves) for c in node["__tuple__"])
+    return jax.numpy.asarray(leaves[node["__leaf__"]])
+
+
+def _to_arrays(plan: FftPlan) -> dict:
+    registry = _plan_registry()
+    arrays: list = []
+    structure = _encode(plan, registry, arrays)
+    if not (isinstance(structure, dict) and "__plan__" in structure):
+        raise TypeError(
+            f"cannot serialize {type(plan).__name__}: not a registered plan "
+            f"class (known: {sorted(registry)})"
+        )
+    out = {f"leaf_{i}": a for i, a in enumerate(arrays)}
+    out["structure"] = np.frombuffer(
+        json.dumps(structure).encode("utf-8"), dtype=np.uint8
+    )
+    out["version"] = np.array([_FORMAT_VERSION])
+    return out
 
 
 def save_plan(plan: FftPlan, path: str) -> None:
-    """Serialize a plan (any registered-pytree plan class) to `path` (.npz)."""
-    leaves, treedef = jax.tree_util.tree_flatten(plan)
-    arrays = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
-    arrays["treedef"] = np.frombuffer(pickle.dumps(treedef), dtype=np.uint8)
-    arrays["version"] = np.array([_FORMAT_VERSION])
+    """Serialize a plan (any allowlisted plan class) to `path` (.npz)."""
     with open(path, "wb") as f:
-        np.savez_compressed(f, **arrays)
+        np.savez_compressed(f, **_to_arrays(plan))
 
 
 def load_plan(path: str) -> FftPlan:
-    """Reconstruct a plan saved by :func:`save_plan`."""
+    """Reconstruct a plan saved by :func:`save_plan`.
+
+    Safe on untrusted files: no pickle is involved — the file can only select
+    classes from the explicit plan registry and provide their array leaves.
+    """
     with np.load(path, allow_pickle=False) as data:
+        if "structure" not in data:
+            raise ValueError(
+                "unsupported plan file (pre-v2 pickled format or not a plan "
+                "file); re-save with save_plan"
+            )
         version = int(data["version"][0])
         if version != _FORMAT_VERSION:
             raise ValueError(f"unsupported plan format version {version}")
-        treedef = pickle.loads(data["treedef"].tobytes())
-        leaves = []
+        structure = json.loads(bytes(data["structure"].tobytes()).decode("utf-8"))
+        leaves = {}
         i = 0
         while f"leaf_{i}" in data:
-            leaves.append(jax.numpy.asarray(data[f"leaf_{i}"]))
+            leaves[i] = data[f"leaf_{i}"]
             i += 1
-    return jax.tree_util.tree_unflatten(treedef, leaves)
+    return _decode(structure, _plan_registry(), leaves)
 
 
 def plan_to_bytes(plan: FftPlan) -> bytes:
     """In-memory variant of :func:`save_plan`."""
     buf = io.BytesIO()
-    leaves, treedef = jax.tree_util.tree_flatten(plan)
-    arrays = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
-    arrays["treedef"] = np.frombuffer(pickle.dumps(treedef), dtype=np.uint8)
-    arrays["version"] = np.array([_FORMAT_VERSION])
-    np.savez_compressed(buf, **arrays)
+    np.savez_compressed(buf, **_to_arrays(plan))
     return buf.getvalue()

@@ -62,9 +62,7 @@ def test_mxu_vs_oracle(n, impl):
     got = _run(plan, x, Transform.FFT)
     want = oracle_transform(x, Transform.FFT)
     assert np.max(np.abs(got - want)) < 1e-4 * max(1.0, np.max(np.abs(want)))
-    goti = _run(plan, _rand(n, rng, scale=n), Transform.IFFT)
-    # (recompute input for oracle comparison)
-    xi = _rand(n, np.random.default_rng(RNG_SEED + n + 1), scale=n)
+    xi = _rand(n, rng, scale=n)
     goti = _run(plan, xi, Transform.IFFT)
     wanti = oracle_transform(xi, Transform.IFFT)
     assert np.max(np.abs(goti - wanti)) < 1e-4 * max(1.0, np.max(np.abs(wanti)))

@@ -67,6 +67,46 @@ def test_plan_to_bytes():
     assert isinstance(blob, bytes) and len(blob) > 0
 
 
+def test_vpu_plan_roundtrip(tmp_path):
+    from fourier_tpu.plan.vpu import VpuFftPlan
+
+    rng = np.random.default_rng(RNG_SEED)
+    plan = VpuFftPlan.create(192)  # mixed-radix schedule [8, 8, 3]
+    path = str(tmp_path / "vpu.npz")
+    save_plan(plan, path)
+    loaded = load_plan(path)
+    assert type(loaded) is VpuFftPlan and loaded.size == 192
+    x = _rand(192, rng, np.complex64)
+    np.testing.assert_array_equal(
+        np.asarray(loaded.fft(x)), np.asarray(plan.fft(x))
+    )
+
+
+def test_load_plan_is_pickle_free(tmp_path):
+    """Plan files carry no pickle: unknown classes are rejected by name and
+    the npz is loaded with allow_pickle=False (ADVICE round 1)."""
+    import json
+
+    plan = ft.create_fft(48, cache=False)
+    path = str(tmp_path / "plan.npz")
+    save_plan(plan, path)
+    with np.load(path, allow_pickle=False) as data:  # must not raise
+        structure = json.loads(bytes(data["structure"].tobytes()))
+    structure["__plan__"] = "os.system"  # hostile class name
+    tampered = {f"leaf_{i}": data[f"leaf_{i}"] for i in []}
+    with np.load(path, allow_pickle=False) as data:
+        tampered = {k: data[k] for k in data.files if k.startswith("leaf_")}
+    tampered["structure"] = np.frombuffer(
+        json.dumps(structure).encode(), dtype=np.uint8
+    )
+    tampered["version"] = np.array([2])
+    bad = str(tmp_path / "bad.npz")
+    with open(bad, "wb") as f:
+        np.savez_compressed(f, **tampered)
+    with pytest.raises(ValueError, match="unknown plan class"):
+        load_plan(bad)
+
+
 def test_aot_export_roundtrip():
     """AOT-compile the execute fn, serialize, reload, run — compile-time plan."""
     jax_export = pytest.importorskip("jax.export")
