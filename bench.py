@@ -16,11 +16,18 @@ end-to-end with zero transposes. The batch-major MXU/XLA default path measures
 ~560 GFLOP/s on the same config.
 
 Methodology: this chip sits behind a ~6 ms-latency tunnel with ~10% run-to-run
-jitter and a ~3 ms fixed per-dispatch setup cost, so we chain CHAIN unitary
+jitter and a fixed per-dispatch setup cost, so we chain CHAIN unitary
 (magnitude-preserving) transforms inside one jitted dispatch — measuring the
 steady-state per-transform rate a sustained pipeline sees — and report the
 median of 3 measurement rounds. (Scaling at B=2048: chain 8 -> 816 GF,
 16 -> 1180, 32 -> 1595, 64 -> 1885, 128 -> 1916; B=4096/chain 128 -> ~2180.)
+
+The per-dispatch setup was profiled in round 2 (PROF_r2.json): ~0.4 ms of XLA
+defensive input copies (eliminated by donate_argnums, and absent between
+chained iterations inside one jit) plus ~0.9 ms irreducible tunnel overhead;
+the kernel itself runs 436 us at this config (2.31 TF device-side). Measured
+HBM streaming ceiling on this chip is ~1768 GB/s (2.2x the v5e spec figure
+behind TARGET_GFLOPS); the kernel is VPU/relayout-bound, not HBM-bound.
 """
 
 import json
