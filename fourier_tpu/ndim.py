@@ -7,6 +7,11 @@ normalization applied ONCE over the total transformed size (so the five
 ``Transform`` modes keep their 1-D semantics: IFFT scales by 1/prod(shape),
 the sqrt-scaled pair stays unitary).
 
+c128 works everywhere the reference's f64 path does (``fourier/src/lib.rs:49``
+is unconditional): on an x64 host the per-axis plans are native-f64 2-plane
+plans, on TPU (no f64) they are 4-plane double-word plans — the planar N-D
+driver handles both representations.
+
 For pod-sharded 2-D transforms over a device mesh, use
 :class:`fourier_tpu.parallel.Fft2dPlan`; this module is the single-chip path
 (batched over leading axes, jit-compatible, planar-first).
@@ -36,13 +41,10 @@ class NdFftPlan:
         self.plans: Tuple[FftPlan, ...] = tuple(
             create_fft(s, self.dtype, backend=backend) for s in self.shape
         )
-        for p in self.plans:
-            if not hasattr(p, "_apply"):
-                raise NotImplementedError(
-                    f"N-D transforms need a 2-plane plan; got {type(p).__name__}"
-                    " (c128 on TPU uses the 4-plane dd representation — use"
-                    " backend='stockham' on an x64 host, or 1-D DdFftPlan)"
-                )
+        # c128 on f32-only hardware resolves to 4-plane double-word plans;
+        # everything else is 2-plane planar. Mixed plan kinds cannot happen
+        # (one dtype+backend for all axes).
+        self.is_dd = any(not hasattr(p, "_apply") for p in self.plans)
         self.size = int(np.prod(self.shape))
 
     @property
@@ -51,6 +53,11 @@ class NdFftPlan:
 
     def transform_planar(self, re, im, transform: Transform = Transform.FFT):
         """Transform the trailing ``ndim`` axes of planar (re, im) planes."""
+        if self.is_dd:
+            raise TypeError(
+                "this plan uses the 4-plane double-word c128 representation; "
+                "call transform_planar_dd(re_hi, re_lo, im_hi, im_lo)"
+            )
         transform = Transform(transform)
         re = jnp.asarray(re)
         im = jnp.asarray(im)
@@ -74,11 +81,63 @@ class NdFftPlan:
             re, im = re * s, im * s
         return re, im
 
+    def transform_planar_dd(self, re_hi, re_lo, im_hi, im_lo,
+                            transform: Transform = Transform.FFT):
+        """N-D transform over 4-plane dd c128 data (the TPU c128 path).
+
+        Planes are f32 arrays of shape (..., *shape); works eagerly on numpy
+        input and traced on jax input (backend-polymorphic like the 1-D dd
+        plan, ``precision/dd_plan.py``).
+        """
+        if not self.is_dd:
+            raise TypeError(
+                "this plan uses 2-plane planar data; call transform_planar"
+            )
+        from fourier_tpu.ops.stockham_jax import xp_for
+        from fourier_tpu.precision import ddcplx
+
+        transform = Transform(transform)
+        planes = (re_hi, re_lo, im_hi, im_lo)
+        xp = xp_for(planes[0])
+        planes = tuple(xp.asarray(p) for p in planes)
+        if planes[0].shape[-self.ndim:] != self.shape:
+            raise ValueError(
+                f"trailing axes {planes[0].shape[-self.ndim:]} do not match "
+                f"plan shape {self.shape}"
+            )
+        mode = Transform.FFT if transform.is_forward else Transform.UNSCALED_IFFT
+        for axis_from_end, plan in enumerate(reversed(self.plans)):
+            axis = planes[0].ndim - 1 - axis_from_end
+            planes = tuple(xp.moveaxis(p, axis, -1) for p in planes)
+            (rh, rl), (ih, il) = plan._apply_dd(
+                ((planes[0], planes[1]), (planes[2], planes[3])), mode
+            )
+            planes = tuple(
+                xp.moveaxis(p, -1, axis) for p in (rh, rl, ih, il)
+            )
+        scale = transform.scale(self.size)
+        if scale is not None:
+            (rh, rl), (ih, il) = ddcplx.scale(
+                ((planes[0], planes[1]), (planes[2], planes[3])), scale
+            )
+            planes = (rh, rl, ih, il)
+        return planes
+
     def transform(self, x, transform: Transform = Transform.FFT):
         """Complex convenience (host/CPU boundary), numpy in -> numpy out."""
         x = np.asarray(x)
         if not np.issubdtype(x.dtype, np.complexfloating):
             x = x.astype(self.dtype)
+        if self.is_dd:
+            from fourier_tpu.precision import ddreal as dd
+
+            x = np.asarray(x, dtype=np.complex128)
+            rh, rl = dd.from_f64(x.real)
+            ih, il = dd.from_f64(x.imag)
+            orh, orl, oih, oil = self.transform_planar_dd(
+                rh, rl, ih, il, transform
+            )
+            return dd.to_f64((orh, orl)) + 1j * dd.to_f64((oih, oil))
         real = np.float32 if self.dtype == np.complex64 else np.float64
         ore, oim = self.transform_planar(
             np.real(x).astype(real), np.imag(x).astype(real), transform
@@ -98,14 +157,22 @@ class NdFftPlan:
         return self.transform_planar(re, im, Transform.IFFT)
 
 
-_ND_CACHE = {}
+from collections import OrderedDict
+
+_ND_CACHE: OrderedDict = OrderedDict()
+_ND_CACHE_MAX = 64  # LRU-bounded; see planner._PLAN_CACHE
 
 
 def _nd_plan(shape, dtype) -> NdFftPlan:
     key = (tuple(shape), np.dtype(dtype).name)
-    if key not in _ND_CACHE:
-        _ND_CACHE[key] = NdFftPlan(shape, dtype)
-    return _ND_CACHE[key]
+    if key in _ND_CACHE:
+        _ND_CACHE.move_to_end(key)
+        return _ND_CACHE[key]
+    plan = NdFftPlan(shape, dtype)
+    _ND_CACHE[key] = plan
+    while len(_ND_CACHE) > _ND_CACHE_MAX:
+        _ND_CACHE.popitem(last=False)
+    return plan
 
 
 def fftn(x, ndim: Optional[int] = None, dtype=np.complex64):

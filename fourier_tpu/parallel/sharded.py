@@ -7,8 +7,9 @@ XLA collectives over ICI, driven by ``shard_map`` — never hand-rolled transpor
 
 Three decompositions:
 
-* **Batch sharding** (:func:`batched_transform`): the many-small-FFT regime.
-  Each chip runs whole transforms on its batch shard; zero communication.
+* **Batch sharding** (:func:`batched_transform` / :func:`batched_transform_dd`):
+  the many-small-FFT regime. Each chip runs whole transforms on its batch
+  shard; zero communication.
 
 * **Four-step large 1-D FFT** (:class:`FourStepPlan`): a transform too large
   (or too latency-critical) for one chip, as N = N1*N2:
@@ -22,15 +23,28 @@ Three decompositions:
 * **2-D FFT** (:class:`Fft2dPlan`): row FFTs → all_to_all transpose → column
   FFTs, for e.g. the 4096x4096-on-v5e-8 regime (BASELINE.json config 5).
 
-Everything is planar (re, im): no complex dtypes exist on this TPU backend.
-All functions are jit-compatible; collectives lower to XLA ``all-to-all`` ops
-that ride ICI within a slice.
+Both sharded plan classes are first-class plans: registered pytrees with the
+``FftPlan`` convenience surface (complex ``transform``/``fft``/``ifft``),
+arbitrary leading batch dimensions, save/load support
+(:mod:`fourier_tpu.plan.serialize`), and both planar representations — 2-plane
+(re, im) for c64 and native-f64 c128, 4-plane (re_hi, re_lo, im_hi, im_lo)
+for double-word c128 on f32-only hardware (the reference's f64 support is
+unconditional across its surface, ``fourier/src/lib.rs:49-60``; so is ours).
+
+**Communication/compute overlap** (``pipeline_chunks > 1``): the local FFTs
+feeding the transpose are split into chunks, and each chunk's ``all_to_all``
+is issued as soon as that chunk's FFT finishes, so the collective for chunk i
+rides ICI while chunk i+1 is still computing. XLA emits async collective
+start/done pairs on TPU and overlaps them with independent compute; the
+chunked form is bitwise-equivalent to the monolithic transpose (an interleave
+reassembly restores the device-major layout). Everything is jit-compatible;
+collectives lower to XLA ``all-to-all`` ops that ride ICI within a slice.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -42,6 +56,84 @@ from fourier_tpu.ops import cplx
 from fourier_tpu.plan.base import FftPlan
 from fourier_tpu.plan.planner import create_fft
 from fourier_tpu.transform import Transform
+
+
+# ---------------------------------------------------------------------------
+# Plane algebra: polymorphic over the two planar representations.
+# 2 planes = (re, im); 4 planes = (re_hi, re_lo, im_hi, im_lo) double-word.
+# ---------------------------------------------------------------------------
+
+
+def _is_dd_plan(plan) -> bool:
+    """4-plane double-word plan (c128 on f32-only hardware)?"""
+    return not hasattr(plan, "_apply")
+
+
+def _apply_plan(plan, planes: Tuple, mode: Transform) -> Tuple:
+    """Run a 1-D plan over the last axis of a plane tuple."""
+    if len(planes) == 4:
+        (rh, rl), (ih, il) = plan._apply_dd(
+            ((planes[0], planes[1]), (planes[2], planes[3])), mode
+        )
+        return (rh, rl, ih, il)
+    return tuple(plan._apply(planes[0], planes[1], mode))
+
+
+def _cmul(planes: Tuple, tw: Tuple) -> Tuple:
+    """Pointwise complex multiply by a twiddle table (same plane count)."""
+    if len(planes) == 4:
+        from fourier_tpu.precision import ddcplx
+
+        (rh, rl), (ih, il) = ddcplx.mul(
+            ((planes[0], planes[1]), (planes[2], planes[3])),
+            ((tw[0], tw[1]), (tw[2], tw[3])),
+        )
+        return (rh, rl, ih, il)
+    return tuple(cplx.mul((planes[0], planes[1]), (tw[0], tw[1])))
+
+
+def _scale_planes(planes: Tuple, scale: Optional[float]) -> Tuple:
+    if scale is None:
+        return planes
+    if len(planes) == 4:
+        from fourier_tpu.precision import ddcplx
+
+        (rh, rl), (ih, il) = ddcplx.scale(
+            ((planes[0], planes[1]), (planes[2], planes[3])), scale
+        )
+        return (rh, rl, ih, il)
+    s = jnp.asarray(scale, dtype=planes[0].dtype)
+    return tuple(p * s for p in planes)
+
+
+def _split_complex(x, nplanes: int, real_dtype) -> Tuple[np.ndarray, ...]:
+    """Host-side complex -> plane tuple."""
+    if nplanes == 4:
+        from fourier_tpu.precision import ddreal as dd
+
+        x = np.asarray(x, dtype=np.complex128)
+        rh, rl = dd.from_f64(x.real)
+        ih, il = dd.from_f64(x.imag)
+        return rh, rl, ih, il
+    x = np.asarray(x)
+    return (np.real(x).astype(real_dtype), np.imag(x).astype(real_dtype))
+
+
+def _join_complex(planes: Tuple, dtype) -> np.ndarray:
+    """Plane tuple -> host-side complex."""
+    if len(planes) == 4:
+        from fourier_tpu.precision import ddreal as dd
+
+        return dd.to_f64((np.asarray(planes[0]), np.asarray(planes[1]))) + (
+            1j * dd.to_f64((np.asarray(planes[2]), np.asarray(planes[3])))
+        )
+    return (np.asarray(planes[0]) + 1j * np.asarray(planes[1])).astype(dtype)
+
+
+def _a2a(p, axis_name: str, split_axis: int, concat_axis: int):
+    return jax.lax.all_to_all(
+        p, axis_name, split_axis=split_axis, concat_axis=concat_axis, tiled=True
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -71,22 +163,157 @@ def batched_transform(
     return fn(re, im)
 
 
+def batched_transform_dd(
+    plan,
+    re_hi,
+    re_lo,
+    im_hi,
+    im_lo,
+    mesh: Mesh,
+    axis: str = "batch",
+    transform: Transform = Transform.FFT,
+) -> Tuple:
+    """Batch-sharded c128 FFT over 4-plane double-word data.
+
+    The dd twin of :func:`batched_transform` (``plan`` is a
+    :class:`~fourier_tpu.precision.DdFftPlan`); leading axis split over mesh
+    axis `axis`, zero communication.
+    """
+    transform = Transform(transform)
+
+    def local(planes):
+        return _apply_plan(plan, planes, transform)
+
+    spec = P(axis, *([None] * (re_hi.ndim - 1)))
+    fn = shard_map(
+        local, mesh=mesh, in_specs=((spec,) * 4,), out_specs=(spec,) * 4
+    )
+    return fn((re_hi, re_lo, im_hi, im_lo))
+
+
+# ---------------------------------------------------------------------------
+# Shared machinery for the sharded plan classes
+# ---------------------------------------------------------------------------
+
+
+class _ShardedPlanBase:
+    """Common surface of the sharded plans (``FftPlan``-style conveniences)."""
+
+    n1: int
+    n2: int
+    size: int
+    mesh: Mesh
+    axis: str
+    dtype: np.dtype
+    pipeline_chunks: int
+
+    @property
+    def real_dtype(self) -> np.dtype:
+        return np.dtype(np.float32 if self.dtype == np.complex64 else np.float64)
+
+    @property
+    def is_dd(self) -> bool:
+        return _is_dd_plan(self.col_plan)
+
+    @property
+    def nplanes(self) -> int:
+        return 4 if self.is_dd else 2
+
+    @property
+    def nshards(self) -> int:
+        return self.mesh.shape[self.axis]
+
+    def __len__(self) -> int:
+        return self.size
+
+    def _make_subplans(self):
+        self.col_plan = create_fft(self.n1, self.dtype, backend=self.backend)
+        self.row_plan = create_fft(self.n2, self.dtype, backend=self.backend)
+
+    def _check_geometry(self, pipeline_major: int):
+        nshards = self.nshards
+        if self.n1 % nshards or self.n2 % nshards:
+            raise ValueError(
+                f"n1={self.n1} and n2={self.n2} must both be divisible by "
+                f"mesh axis size {nshards}"
+            )
+        c = self.pipeline_chunks
+        if c < 1:
+            raise ValueError(f"pipeline_chunks must be >= 1, got {c}")
+        if c > 1 and (pipeline_major // nshards) % c:
+            raise ValueError(
+                f"pipeline_chunks={c} must divide the local shard extent "
+                f"{pipeline_major // nshards}"
+            )
+
+    # The per-plane local twiddle split table for dd / native dtypes.
+    def _pack_table(self, re64: np.ndarray, im64: np.ndarray) -> Tuple:
+        if self.is_dd:
+            from fourier_tpu.precision import ddreal as dd
+
+            rh, rl = dd.from_f64(re64)
+            ih, il = dd.from_f64(im64)
+            return tuple(jnp.asarray(p) for p in (rh, rl, ih, il))
+        rt = self.real_dtype
+        return (jnp.asarray(re64.astype(rt)), jnp.asarray(im64.astype(rt)))
+
+    # -- complex convenience over the planar APIs --------------------------
+
+    def _planar_dispatch(self, planes: Tuple, transform: Transform) -> Tuple:
+        raise NotImplementedError
+
+    def transform_planar(self, re, im, transform: Transform = Transform.FFT):
+        """2-plane planar transform (c64 / native-f64 c128)."""
+        if self.is_dd:
+            raise TypeError(
+                "this plan uses the 4-plane double-word c128 representation; "
+                "call transform_planar_dd(re_hi, re_lo, im_hi, im_lo)"
+            )
+        return self._planar_dispatch((re, im), Transform(transform))
+
+    def transform_planar_dd(self, re_hi, re_lo, im_hi, im_lo,
+                            transform: Transform = Transform.FFT):
+        """4-plane dd planar transform (c128 on f32-only hardware)."""
+        if not self.is_dd:
+            raise TypeError(
+                "this plan uses 2-plane planar data; call transform_planar"
+            )
+        return self._planar_dispatch(
+            (re_hi, re_lo, im_hi, im_lo), Transform(transform)
+        )
+
+    def fft_planar(self, *planes):
+        return self._planar_dispatch(planes, Transform.FFT)
+
+    def ifft_planar(self, *planes):
+        return self._planar_dispatch(planes, Transform.IFFT)
+
+    def fft(self, x):
+        return self.transform(x, Transform.FFT)
+
+    def ifft(self, x):
+        return self.transform(x, Transform.IFFT)
+
+    def __call__(self, x, transform: Transform = Transform.FFT):
+        return self.transform(x, transform)
+
+
 # ---------------------------------------------------------------------------
 # Four-step decomposition: large 1-D FFT sharded along the transform axis
 # ---------------------------------------------------------------------------
 
 
-def _split_twiddle(n1: int, n2: int, forward: bool, real_dtype) -> Tuple[np.ndarray, np.ndarray]:
-    """Planar W_N^(±k1*n2) table of shape (n1, n2), computed in f64."""
+def _split_twiddle(n1: int, n2: int, forward: bool) -> Tuple[np.ndarray, np.ndarray]:
+    """f64 planar W_N^(±k1*n2) table of shape (n1, n2), plan-time numpy."""
     k1 = np.arange(n1, dtype=np.float64)[:, None]
     j2 = np.arange(n2, dtype=np.float64)[None, :]
     theta = 2.0 * np.pi * (k1 * j2) / float(n1 * n2)
     re = np.cos(theta)
     im = -np.sin(theta) if forward else np.sin(theta)
-    return re.astype(real_dtype), im.astype(real_dtype)
+    return re, im
 
 
-class FourStepPlan:
+class FourStepPlan(_ShardedPlanBase):
     """Large 1-D FFT of size n1*n2 sharded over a mesh axis.
 
     Derivation (standard four-step): with n = n1*N2 + n2 and k = k1 + N1*k2,
@@ -99,6 +326,11 @@ class FourStepPlan:
     Output element k1 + N1*k2 is Y[k1, k2]: "transposed" digit order. With
     ``natural_order=True`` a second all_to_all + local transpose returns the
     flat natural-order spectrum, contiguously sharded.
+
+    Planar input has shape (..., n1, n2) — leading axes are (replicated)
+    batch dims; the complex convenience ``transform(x)`` takes the flat
+    (..., n1*n2) signal. ``pipeline_chunks=C`` overlaps the transpose with
+    the column FFTs in C chunks (identical results).
     """
 
     def __init__(
@@ -109,85 +341,165 @@ class FourStepPlan:
         axis: str = "fft",
         dtype=np.complex64,
         natural_order: bool = False,
+        pipeline_chunks: int = 1,
+        backend: str = "auto",
     ):
         self.n1, self.n2 = int(n1), int(n2)
         self.size = self.n1 * self.n2
         self.mesh = mesh
         self.axis = axis
         self.dtype = np.dtype(dtype)
-        self.natural_order = natural_order
-        nshards = mesh.shape[axis]
-        if self.n1 % nshards or self.n2 % nshards:
-            raise ValueError(
-                f"n1={n1} and n2={n2} must both be divisible by mesh axis "
-                f"size {nshards}"
-            )
-        self.col_plan = create_fft(self.n1, self.dtype)
-        self.row_plan = create_fft(self.n2, self.dtype)
-        real = self.col_plan.real_dtype
-        tf = _split_twiddle(self.n1, self.n2, True, real)
-        ti = _split_twiddle(self.n1, self.n2, False, real)
-        self.tw_fwd = (jnp.asarray(tf[0]), jnp.asarray(tf[1]))
-        self.tw_inv = (jnp.asarray(ti[0]), jnp.asarray(ti[1]))
+        self.natural_order = bool(natural_order)
+        self.pipeline_chunks = int(pipeline_chunks)
+        self.backend = backend
+        self._make_subplans()
+        self._check_geometry(pipeline_major=self.n2)
+        tf = _split_twiddle(self.n1, self.n2, True)
+        ti = _split_twiddle(self.n1, self.n2, False)
+        self.tw_fwd = self._pack_table(*tf)
+        self.tw_inv = self._pack_table(*ti)
 
-    def _local_steps(self, re_l, im_l, twr_l, twi_l, transform: Transform):
-        forward = transform.is_forward
-        # Step 1: N1-point FFTs along axis 0 (batch = local columns).
-        # Unscaled in both directions; normalization is applied once, globally.
-        mode = Transform.FFT if forward else Transform.UNSCALED_IFFT
-        re_t, im_t = re_l.T, im_l.T  # (n2_loc, n1)
-        re_t, im_t = self.col_plan._apply(re_t, im_t, mode)
-        re_l, im_l = re_t.T, im_t.T  # (n1, n2_loc)
-        # Step 2: split twiddle W_N^(±k1*n2) — local shard passed in.
-        re_l, im_l = cplx.mul((re_l, im_l), (twr_l, twi_l))
-        # Step 3: all_to_all transpose over ICI: (n1, n2_loc) -> (n1_loc, n2).
-        re_l = jax.lax.all_to_all(re_l, self.axis, split_axis=0, concat_axis=1, tiled=True)
-        im_l = jax.lax.all_to_all(im_l, self.axis, split_axis=0, concat_axis=1, tiled=True)
-        # Step 4: N2-point FFTs along axis 1 (rows whole now).
-        re_l, im_l = self.row_plan._apply(re_l, im_l, mode)
-        # Global normalization.
-        scale = transform.scale(self.size)
-        if scale is not None:
-            s = jnp.asarray(scale, dtype=re_l.dtype)
-            re_l, im_l = re_l * s, im_l * s
-        if self.natural_order:
-            # Y (n1_loc, n2) -> column-sharded Y (n1, n2_loc), then local
-            # transpose gives Z = Y^T row-sharded: flat Z is the natural-order
-            # spectrum, contiguously sharded over the mesh axis.
-            re_l = jax.lax.all_to_all(re_l, self.axis, split_axis=1, concat_axis=0, tiled=True)
-            im_l = jax.lax.all_to_all(im_l, self.axis, split_axis=1, concat_axis=0, tiled=True)
-            re_l, im_l = re_l.T, im_l.T  # (n2_loc, n1)
-            re_l = re_l.reshape(-1)
-            im_l = im_l.reshape(-1)
-        return re_l, im_l
+    # -- local (per-shard) computation -------------------------------------
 
-    def transform_planar(self, re, im, transform: Transform = Transform.FFT):
-        """Transform planar input of shape (n1, n2) (= x.reshape(n1, n2)).
+    def _col_fft_twiddle(self, planes: Tuple, tw: Tuple, mode: Transform):
+        """Step 1 + 2 on (..., n1, cols): column FFTs then split twiddle."""
+        planes = tuple(jnp.swapaxes(p, -1, -2) for p in planes)
+        planes = _apply_plan(self.col_plan, planes, mode)
+        planes = tuple(jnp.swapaxes(p, -1, -2) for p in planes)
+        return _cmul(planes, tw)
 
-        Input must be (or will be) sharded column-wise: P(None, axis).
-        Returns (n1, n2) matrix Y with X[k1 + n1*k2] = Y[k1, k2] row-sharded
-        when natural_order=False, else the flat (size,) natural-order spectrum.
+    def _fft_twiddle_transpose(self, planes: Tuple, tw: Tuple, mode: Transform):
+        """Steps 1-3, optionally chunked so all_to_all overlaps compute.
+
+        Input (..., n1, n2_loc) column-sharded; output (..., n1_loc, n2)
+        row-sharded — identical to the monolithic path for any chunking.
         """
-        transform = Transform(transform)
-        in_spec = P(None, self.axis)
+        nb = planes[0].ndim - 2
+        chunks = self.pipeline_chunks
+        n2_loc = planes[0].shape[-1]
+        if chunks <= 1 or n2_loc % chunks:
+            planes = self._col_fft_twiddle(planes, tw, mode)
+            return tuple(_a2a(p, self.axis, nb, nb + 1) for p in planes)
+        w = n2_loc // chunks
+        sent = []
+        for c in range(chunks):
+            sl = slice(c * w, (c + 1) * w)
+            chunk = tuple(p[..., :, sl] for p in planes)
+            twc = tuple(t[:, sl] for t in tw)
+            chunk = self._col_fft_twiddle(chunk, twc, mode)
+            # Issue this chunk's collective immediately: on TPU it runs
+            # async over ICI while the next chunk's FFT computes.
+            sent.append(tuple(_a2a(p, self.axis, nb, nb + 1) for p in chunk))
+        # Interleave reassembly: chunk results are device-major along the
+        # last axis ([dev d: cols c*w..(c+1)*w]); the monolithic layout is
+        # [dev d: all n2_loc cols], i.e. (S, C, w) ordering.
+        out = []
+        nshards = self.nshards
+        for i in range(len(planes)):
+            rs = [
+                s[i].reshape(*s[i].shape[:-1], nshards, w) for s in sent
+            ]
+            stacked = jnp.stack(rs, axis=-2)  # (..., n1_loc, S, C, w)
+            out.append(stacked.reshape(*stacked.shape[:-3], nshards * chunks * w))
+        return tuple(out)
+
+    def _local_steps(self, planes: Tuple, tw: Tuple, transform: Transform):
+        forward = transform.is_forward
+        # Per-shard passes are unscaled; normalization applied once, globally.
+        mode = Transform.FFT if forward else Transform.UNSCALED_IFFT
+        nb = planes[0].ndim - 2
+        # Steps 1-3: column FFTs + twiddle + all_to_all transpose over ICI.
+        planes = self._fft_twiddle_transpose(planes, tw, mode)
+        # Step 4: N2-point FFTs along the last axis (rows whole now).
+        planes = _apply_plan(self.row_plan, planes, mode)
+        planes = _scale_planes(planes, transform.scale(self.size))
         if self.natural_order:
-            out_spec = P(self.axis)
+            # Y (..., n1_loc, n2) -> column-sharded Y (..., n1, n2_loc), then
+            # local transpose gives Z = Y^T row-sharded: flat Z is the
+            # natural-order spectrum, contiguously sharded over the mesh axis.
+            planes = tuple(_a2a(p, self.axis, nb + 1, nb) for p in planes)
+            planes = tuple(jnp.swapaxes(p, -1, -2) for p in planes)
+            planes = tuple(p.reshape(*p.shape[:-2], -1) for p in planes)
+        return planes
+
+    def _planar_dispatch(self, planes: Tuple, transform: Transform):
+        xp_planes = tuple(jnp.asarray(p) for p in planes)
+        if xp_planes[0].shape[-2:] != (self.n1, self.n2):
+            raise ValueError(
+                f"trailing axes {xp_planes[0].shape[-2:]} do not match plan "
+                f"matrix shape ({self.n1}, {self.n2})"
+            )
+        nb = xp_planes[0].ndim - 2
+        bspec = (None,) * nb
+        in_spec = P(*bspec, None, self.axis)
+        tw_spec = P(None, self.axis)
+        if self.natural_order:
+            out_spec = P(*bspec, self.axis)
         else:
-            out_spec = P(self.axis, None)
+            out_spec = P(*bspec, self.axis, None)
+        np_ = len(xp_planes)
         fn = shard_map(
             functools.partial(self._local_steps, transform=transform),
             mesh=self.mesh,
-            in_specs=(in_spec, in_spec, in_spec, in_spec),
-            out_specs=(out_spec, out_spec),
+            in_specs=((in_spec,) * np_, (tw_spec,) * np_),
+            out_specs=(out_spec,) * np_,
         )
         tw = self.tw_fwd if transform.is_forward else self.tw_inv
-        return fn(re, im, tw[0], tw[1])
+        return fn(xp_planes, tw)
 
-    def fft_planar(self, re, im):
-        return self.transform_planar(re, im, Transform.FFT)
+    # -- complex convenience ------------------------------------------------
 
-    def ifft_planar(self, re, im):
-        return self.transform_planar(re, im, Transform.IFFT)
+    def transform(self, x, transform: Transform = Transform.FFT):
+        """Out-of-place transform of the flat (..., n1*n2) complex signal.
+
+        Returns the flat natural-order spectrum when ``natural_order=True``,
+        else the (..., n1, n2) digit-order matrix Y[k1, k2] = X[k1 + n1*k2].
+        """
+        transform = Transform(transform)
+        x = np.asarray(x)
+        if x.shape[-1] != self.size:
+            raise ValueError(
+                f"last axis {x.shape[-1]} != plan size {self.size}"
+            )
+        planes = _split_complex(x, self.nplanes, self.real_dtype)
+        planes = tuple(
+            p.reshape(*p.shape[:-1], self.n1, self.n2) for p in planes
+        )
+        out = self._planar_dispatch(planes, transform)
+        return _join_complex(out, self.dtype)
+
+    def __repr__(self):
+        return (
+            f"FourStepPlan(n1={self.n1}, n2={self.n2}, axis={self.axis!r}, "
+            f"dtype={self.dtype.name}, natural_order={self.natural_order}, "
+            f"pipeline_chunks={self.pipeline_chunks})"
+        )
+
+    # -- pytree -------------------------------------------------------------
+
+    def tree_flatten(self):
+        children = (self.tw_fwd, self.tw_inv, self.col_plan, self.row_plan)
+        aux = (
+            self.n1,
+            self.n2,
+            self.axis,
+            self.dtype.name,
+            self.natural_order,
+            self.pipeline_chunks,
+            self.backend,
+            self.mesh,
+        )
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        (obj.n1, obj.n2, obj.axis, dtype_name, obj.natural_order,
+         obj.pipeline_chunks, obj.backend, obj.mesh) = aux
+        obj.dtype = np.dtype(dtype_name)
+        obj.size = obj.n1 * obj.n2
+        obj.tw_fwd, obj.tw_inv, obj.col_plan, obj.row_plan = children
+        return obj
 
 
 # ---------------------------------------------------------------------------
@@ -195,7 +507,7 @@ class FourStepPlan:
 # ---------------------------------------------------------------------------
 
 
-class Fft2dPlan:
+class Fft2dPlan(_ShardedPlanBase):
     """2-D c2c FFT of shape (n1, n2), row-sharded over a mesh axis.
 
     Row FFTs (local) → all_to_all transpose over ICI → column FFTs (local).
@@ -203,6 +515,10 @@ class Fft2dPlan:
     transposed layout (n2, n1) row-sharded, saving the second all_to_all —
     the standard trick when a pointwise filter + inverse FFT follows (the
     inverse then runs with the roles of the two axes swapped).
+
+    Planar input has shape (..., n1, n2); leading axes are (replicated)
+    batch dims. ``pipeline_chunks=C`` overlaps the transpose with the row
+    FFTs in C chunks (identical results).
     """
 
     def __init__(
@@ -213,57 +529,148 @@ class Fft2dPlan:
         axis: str = "fft",
         dtype=np.complex64,
         transposed_output: bool = False,
+        pipeline_chunks: int = 1,
+        backend: str = "auto",
     ):
         self.n1, self.n2 = int(n1), int(n2)
+        self.size = self.n1 * self.n2
         self.mesh = mesh
         self.axis = axis
         self.dtype = np.dtype(dtype)
-        self.transposed_output = transposed_output
-        nshards = mesh.shape[axis]
-        if self.n1 % nshards or self.n2 % nshards:
-            raise ValueError(
-                f"n1={n1} and n2={n2} must both be divisible by mesh axis "
-                f"size {nshards}"
-            )
-        self.row_plan = create_fft(self.n2, self.dtype)
-        self.col_plan = create_fft(self.n1, self.dtype)
+        self.transposed_output = bool(transposed_output)
+        self.pipeline_chunks = int(pipeline_chunks)
+        self.backend = backend
+        self._make_subplans()
+        self._check_geometry(pipeline_major=self.n1)
 
-    def _local_steps(self, re_l, im_l, transform: Transform):
+    def _make_subplans(self):
+        self.row_plan = create_fft(self.n2, self.dtype, backend=self.backend)
+        self.col_plan = create_fft(self.n1, self.dtype, backend=self.backend)
+
+    def _row_fft_transpose(self, planes: Tuple, mode: Transform):
+        """Row FFTs + all_to_all transpose, optionally chunked for overlap.
+
+        Input (..., n1_loc, n2) row-sharded; output (..., n1, n2_loc)
+        column-sharded — identical to the monolithic path for any chunking.
+        """
+        nb = planes[0].ndim - 2
+        chunks = self.pipeline_chunks
+        n1_loc = planes[0].shape[-2]
+        if chunks <= 1 or n1_loc % chunks:
+            planes = _apply_plan(self.row_plan, planes, mode)
+            return tuple(_a2a(p, self.axis, nb + 1, nb) for p in planes)
+        h = n1_loc // chunks
+        sent = []
+        for c in range(chunks):
+            chunk = tuple(p[..., c * h:(c + 1) * h, :] for p in planes)
+            chunk = _apply_plan(self.row_plan, chunk, mode)
+            sent.append(tuple(_a2a(p, self.axis, nb + 1, nb) for p in chunk))
+        # Interleave reassembly: each chunk's rows are device-major blocks of
+        # h; the monolithic layout is device-major blocks of n1_loc = C*h.
+        out = []
+        nshards = self.nshards
+        for i in range(len(planes)):
+            rs = [
+                s[i].reshape(
+                    *s[i].shape[:-2], nshards, h, s[i].shape[-1]
+                )
+                for s in sent
+            ]
+            stacked = jnp.stack(rs, axis=-3)  # (..., S, C, h, n2_loc)
+            out.append(
+                stacked.reshape(
+                    *stacked.shape[:-4], nshards * chunks * h, stacked.shape[-1]
+                )
+            )
+        return tuple(out)
+
+    def _local_steps(self, planes: Tuple, transform: Transform):
         forward = transform.is_forward
         mode = Transform.FFT if forward else Transform.UNSCALED_IFFT
-        # Row FFTs: (n1_loc, n2), transform along the last axis.
-        re_l, im_l = self.row_plan._apply(re_l, im_l, mode)
-        # Transpose over ICI: (n1_loc, n2) -> (n1, n2_loc) -> local T (n2_loc, n1).
-        re_l = jax.lax.all_to_all(re_l, self.axis, split_axis=1, concat_axis=0, tiled=True)
-        im_l = jax.lax.all_to_all(im_l, self.axis, split_axis=1, concat_axis=0, tiled=True)
-        re_l, im_l = re_l.T, im_l.T
-        # Column FFTs (now rows of the transposed layout).
-        re_l, im_l = self.col_plan._apply(re_l, im_l, mode)
-        scale = transform.scale(self.n1 * self.n2)
-        if scale is not None:
-            s = jnp.asarray(scale, dtype=re_l.dtype)
-            re_l, im_l = re_l * s, im_l * s
+        nb = planes[0].ndim - 2
+        # Row FFTs + transpose over ICI: (..., n1_loc, n2) -> (..., n1, n2_loc)
+        planes = self._row_fft_transpose(planes, mode)
+        # Local transpose, then column FFTs (now rows of the transposed view).
+        planes = tuple(jnp.swapaxes(p, -1, -2) for p in planes)
+        planes = _apply_plan(self.col_plan, planes, mode)
+        planes = _scale_planes(planes, transform.scale(self.size))
         if not self.transposed_output:
-            # Back to natural (n1_loc, n2) layout: local T + all_to_all.
-            re_l, im_l = re_l.T, im_l.T  # (n1, n2_loc)
-            re_l = jax.lax.all_to_all(re_l, self.axis, split_axis=0, concat_axis=1, tiled=True)
-            im_l = jax.lax.all_to_all(im_l, self.axis, split_axis=0, concat_axis=1, tiled=True)
-        return re_l, im_l
+            # Back to natural (..., n1_loc, n2) layout: local T + all_to_all.
+            planes = tuple(jnp.swapaxes(p, -1, -2) for p in planes)
+            planes = tuple(_a2a(p, self.axis, nb, nb + 1) for p in planes)
+        return planes
 
-    def transform_planar(self, re, im, transform: Transform = Transform.FFT):
-        """2-D transform of planar (n1, n2) input, row-sharded: P(axis, None)."""
-        transform = Transform(transform)
-        spec = P(self.axis, None)
+    def _planar_dispatch(self, planes: Tuple, transform: Transform):
+        xp_planes = tuple(jnp.asarray(p) for p in planes)
+        if xp_planes[0].shape[-2:] != (self.n1, self.n2):
+            raise ValueError(
+                f"trailing axes {xp_planes[0].shape[-2:]} do not match plan "
+                f"shape ({self.n1}, {self.n2})"
+            )
+        nb = xp_planes[0].ndim - 2
+        bspec = (None,) * nb
+        spec = P(*bspec, self.axis, None)
+        np_ = len(xp_planes)
         fn = shard_map(
             functools.partial(self._local_steps, transform=transform),
             mesh=self.mesh,
-            in_specs=(spec, spec),
-            out_specs=(spec, spec),
+            in_specs=((spec,) * np_,),
+            out_specs=(spec,) * np_,
         )
-        return fn(re, im)
+        return fn(xp_planes)
 
-    def fft_planar(self, re, im):
-        return self.transform_planar(re, im, Transform.FFT)
+    # -- complex convenience ------------------------------------------------
 
-    def ifft_planar(self, re, im):
-        return self.transform_planar(re, im, Transform.IFFT)
+    def transform(self, x, transform: Transform = Transform.FFT):
+        """Out-of-place 2-D transform of the (..., n1, n2) complex array."""
+        transform = Transform(transform)
+        x = np.asarray(x)
+        if x.shape[-2:] != (self.n1, self.n2):
+            raise ValueError(
+                f"trailing axes {x.shape[-2:]} != plan shape "
+                f"({self.n1}, {self.n2})"
+            )
+        planes = _split_complex(x, self.nplanes, self.real_dtype)
+        out = self._planar_dispatch(planes, transform)
+        return _join_complex(out, self.dtype)
+
+    def __repr__(self):
+        return (
+            f"Fft2dPlan(n1={self.n1}, n2={self.n2}, axis={self.axis!r}, "
+            f"dtype={self.dtype.name}, "
+            f"transposed_output={self.transposed_output}, "
+            f"pipeline_chunks={self.pipeline_chunks})"
+        )
+
+    # -- pytree -------------------------------------------------------------
+
+    def tree_flatten(self):
+        children = (self.col_plan, self.row_plan)
+        aux = (
+            self.n1,
+            self.n2,
+            self.axis,
+            self.dtype.name,
+            self.transposed_output,
+            self.pipeline_chunks,
+            self.backend,
+            self.mesh,
+        )
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        (obj.n1, obj.n2, obj.axis, dtype_name, obj.transposed_output,
+         obj.pipeline_chunks, obj.backend, obj.mesh) = aux
+        obj.dtype = np.dtype(dtype_name)
+        obj.size = obj.n1 * obj.n2
+        obj.col_plan, obj.row_plan = children
+        return obj
+
+
+for _cls in (FourStepPlan, Fft2dPlan):
+    jax.tree_util.register_pytree_node(
+        _cls, lambda p: p.tree_flatten(), _cls.tree_unflatten
+    )
+del _cls

@@ -32,6 +32,7 @@ _FORMAT_VERSION = 2
 
 def _plan_registry():
     """Explicit allowlist of reconstructable plan classes (name -> class)."""
+    from fourier_tpu.parallel.sharded import Fft2dPlan, FourStepPlan
     from fourier_tpu.plan.autosort import AutosortPlan
     from fourier_tpu.plan.bluestein import BluesteinPlan
     from fourier_tpu.plan.four_step_local import FourStepLocalPlan
@@ -48,16 +49,32 @@ def _plan_registry():
             MxuFftPlan,
             VpuFftPlan,
             DdFftPlan,
+            FourStepPlan,
+            Fft2dPlan,
         )
     }
 
 
 def _encode_aux(value):
-    """Static (treedef) data -> JSON: scalars pass through, tuples are tagged."""
+    """Static (treedef) data -> JSON: scalars pass through, tuples are tagged.
+
+    A ``jax.sharding.Mesh`` (in sharded plans' aux) is encoded as its axis
+    geometry only — device handles are a property of the running process, so
+    ``load_plan`` rebinds a compatible mesh supplied by the caller.
+    """
+    from jax.sharding import Mesh
+
     if value is None or isinstance(value, (bool, int, float, str)):
         return value
     if isinstance(value, (np.integer, np.floating)):
         return value.item()
+    if isinstance(value, Mesh):
+        return {
+            "__mesh__": {
+                "axis_names": list(value.axis_names),
+                "shape": [int(s) for s in value.devices.shape],
+            }
+        }
     if isinstance(value, tuple):
         return {"__tuple__": [_encode_aux(v) for v in value]}
     raise TypeError(
@@ -66,9 +83,26 @@ def _encode_aux(value):
     )
 
 
-def _decode_aux(value):
+def _decode_aux(value, mesh=None):
+    if isinstance(value, dict) and "__mesh__" in value:
+        want = value["__mesh__"]
+        if mesh is None:
+            raise ValueError(
+                "this plan file contains a sharded plan; pass load_plan(..., "
+                f"mesh=...) with axes {want['axis_names']} of shape "
+                f"{want['shape']}"
+            )
+        if list(mesh.axis_names) != want["axis_names"] or [
+            int(s) for s in mesh.devices.shape
+        ] != want["shape"]:
+            raise ValueError(
+                f"provided mesh (axes {list(mesh.axis_names)}, shape "
+                f"{list(mesh.devices.shape)}) does not match the plan's mesh "
+                f"(axes {want['axis_names']}, shape {want['shape']})"
+            )
+        return mesh
     if isinstance(value, dict):
-        return tuple(_decode_aux(v) for v in value["__tuple__"])
+        return tuple(_decode_aux(v, mesh) for v in value["__tuple__"])
     return value
 
 
@@ -91,7 +125,7 @@ def _encode(node, registry, arrays):
     return {"__leaf__": idx}
 
 
-def _decode(node, registry, leaves):
+def _decode(node, registry, leaves, mesh=None):
     import jax
 
     if node is None:
@@ -101,13 +135,15 @@ def _decode(node, registry, leaves):
         if name not in registry:
             raise ValueError(f"unknown plan class {name!r} in plan file")
         cls = registry[name]
-        aux = _decode_aux(node["aux"])
+        aux = _decode_aux(node["aux"], mesh)
         children = tuple(
-            _decode(c, registry, leaves) for c in node["children"]
+            _decode(c, registry, leaves, mesh) for c in node["children"]
         )
         return cls.tree_unflatten(aux, children)
     if "__tuple__" in node:
-        return tuple(_decode(c, registry, leaves) for c in node["__tuple__"])
+        return tuple(
+            _decode(c, registry, leaves, mesh) for c in node["__tuple__"]
+        )
     return jax.numpy.asarray(leaves[node["__leaf__"]])
 
 
@@ -134,11 +170,15 @@ def save_plan(plan: FftPlan, path: str) -> None:
         np.savez_compressed(f, **_to_arrays(plan))
 
 
-def load_plan(path: str) -> FftPlan:
+def load_plan(path: str, mesh=None) -> FftPlan:
     """Reconstruct a plan saved by :func:`save_plan`.
 
     Safe on untrusted files: no pickle is involved — the file can only select
     classes from the explicit plan registry and provide their array leaves.
+
+    Sharded plans (FourStepPlan / Fft2dPlan) store only their mesh geometry;
+    pass ``mesh=`` with matching axis names and shape to rebind them to this
+    process's devices.
     """
     with np.load(path, allow_pickle=False) as data:
         if "structure" not in data:
@@ -155,7 +195,7 @@ def load_plan(path: str) -> FftPlan:
         while f"leaf_{i}" in data:
             leaves[i] = data[f"leaf_{i}"]
             i += 1
-    return _decode(structure, _plan_registry(), leaves)
+    return _decode(structure, _plan_registry(), leaves, mesh)
 
 
 def plan_to_bytes(plan: FftPlan) -> bytes:

@@ -72,6 +72,72 @@ def test_nd_shape_validation():
         NdFftPlan(())
 
 
+@pytest.mark.parametrize("shape", [(16, 16), (8, 12)])
+def test_fft2_c128_dd(shape):
+    """c128 2-D via the 4-plane dd representation (the TPU c128 path)."""
+    rng = np.random.default_rng(RNG_SEED)
+    x = (
+        rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+    ).astype(np.complex128)
+    plan = NdFftPlan(shape, np.complex128, backend="dd")
+    assert plan.is_dd
+    want = np.fft.fft2(x)
+    got = plan.fft(x)
+    assert np.linalg.norm(got - want) < 1e-12 * np.linalg.norm(want)
+    back = plan.ifft(got)
+    assert np.linalg.norm(back - x) < 1e-12 * np.linalg.norm(x)
+
+
+def test_fft2_c128_dd_jit_path():
+    """The 4-plane planar API traced under jit matches the eager numpy path."""
+    import jax
+    import jax.numpy as jnp
+
+    from fourier_tpu.precision import ddreal as dd
+
+    rng = np.random.default_rng(RNG_SEED)
+    shape = (8, 16)
+    x = (
+        rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+    ).astype(np.complex128)
+    plan = NdFftPlan(shape, np.complex128, backend="dd")
+    rh, rl = dd.from_f64(x.real)
+    ih, il = dd.from_f64(x.imag)
+    fn = jax.jit(
+        lambda a, b, c, d: plan.transform_planar_dd(a, b, c, d, Transform.FFT)
+    )
+    orh, orl, oih, oil = fn(jnp.asarray(rh), jnp.asarray(rl),
+                            jnp.asarray(ih), jnp.asarray(il))
+    got = dd.to_f64((np.asarray(orh), np.asarray(orl))) + 1j * dd.to_f64(
+        (np.asarray(oih), np.asarray(oil))
+    )
+    want = np.fft.fft2(x)
+    assert np.linalg.norm(got - want) < 1e-12 * np.linalg.norm(want)
+
+
+def test_fftn_3d_c128_dd_bluestein_axis():
+    """dd N-D with a Bluestein (prime) axis keeps the 1e-12 gate."""
+    rng = np.random.default_rng(RNG_SEED)
+    shape = (4, 7, 8)  # 7 is prime -> dd Bluestein along that axis
+    x = (
+        rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+    ).astype(np.complex128)
+    plan = NdFftPlan(shape, np.complex128, backend="dd")
+    want = np.fft.fftn(x)
+    got = plan.fft(x)
+    assert np.linalg.norm(got - want) < 1e-12 * np.linalg.norm(want)
+
+
+def test_nd_dd_plane_api_mismatch_raises():
+    plan_dd = NdFftPlan((8, 8), np.complex128, backend="dd")
+    with pytest.raises(TypeError):
+        plan_dd.transform_planar(np.zeros((8, 8), np.float32),
+                                 np.zeros((8, 8), np.float32))
+    plan = NdFftPlan((8, 8))
+    with pytest.raises(TypeError):
+        plan.transform_planar_dd(*(np.zeros((8, 8), np.float32),) * 4)
+
+
 def test_fftshift_helpers():
     from fourier_tpu import fftfreq, fftshift, ifftshift
 

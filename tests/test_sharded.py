@@ -12,7 +12,12 @@ from jax.sharding import Mesh
 
 import fourier_tpu as ft
 from fourier_tpu import Transform
-from fourier_tpu.parallel.sharded import Fft2dPlan, FourStepPlan, batched_transform
+from fourier_tpu.parallel.sharded import (
+    Fft2dPlan,
+    FourStepPlan,
+    batched_transform,
+    batched_transform_dd,
+)
 
 RNG_SEED = 0xFEED
 
@@ -153,3 +158,229 @@ def test_divisibility_validation():
         FourStepPlan(9, 16, mesh)  # 9 not divisible by 8
     with pytest.raises(ValueError):
         Fft2dPlan(16, 9, mesh)
+    with pytest.raises(ValueError):
+        Fft2dPlan(16, 16, mesh, pipeline_chunks=3)  # 3 does not divide 16/8
+
+
+# ---------------------------------------------------------------------------
+# First-class plan surface: batch dims, complex API, pytree, pipelining, dd
+# ---------------------------------------------------------------------------
+
+
+def test_four_step_batch_dims_and_complex_api():
+    rng = np.random.default_rng(RNG_SEED)
+    mesh = _mesh()
+    n1 = n2 = 16
+    x = (
+        rng.standard_normal((3, n1 * n2)) + 1j * rng.standard_normal((3, n1 * n2))
+    ).astype(np.complex64)
+    plan = FourStepPlan(n1, n2, mesh, natural_order=True)
+    got = plan.fft(x)
+    want = np.fft.fft(x, axis=-1)
+    assert got.shape == x.shape
+    assert np.max(np.abs(got - want)) < 1e-3 * np.max(np.abs(want))
+    back = plan.ifft(got)
+    np.testing.assert_allclose(back, x, atol=2e-4 * np.max(np.abs(x)))
+
+
+def test_fft2d_batch_dims_and_complex_api():
+    rng = np.random.default_rng(RNG_SEED)
+    mesh = _mesh()
+    n1, n2 = 16, 32
+    x = (
+        rng.standard_normal((2, n1, n2)) + 1j * rng.standard_normal((2, n1, n2))
+    ).astype(np.complex64)
+    plan = Fft2dPlan(n1, n2, mesh)
+    got = plan.fft(x)
+    want = np.fft.fft2(x, axes=(-2, -1))
+    assert got.shape == x.shape
+    assert np.max(np.abs(got - want)) < 1e-3 * np.max(np.abs(want))
+
+
+@pytest.mark.parametrize("chunks", [2, 4])
+def test_four_step_pipelined_equivalence(chunks):
+    """pipeline_chunks must reproduce the monolithic transpose exactly."""
+    rng = np.random.default_rng(RNG_SEED)
+    mesh = _mesh()
+    n1, n2 = 16, 32
+    re, im = _rand_planar((n1, n2), rng)
+    base = FourStepPlan(n1, n2, mesh, natural_order=True)
+    piped = FourStepPlan(
+        n1, n2, mesh, natural_order=True, pipeline_chunks=chunks
+    )
+    bre, bim = base.fft_planar(re, im)
+    pre, pim = piped.fft_planar(re, im)
+    np.testing.assert_array_equal(np.asarray(bre), np.asarray(pre))
+    np.testing.assert_array_equal(np.asarray(bim), np.asarray(pim))
+
+
+@pytest.mark.parametrize("chunks", [2, 4])
+def test_fft2d_pipelined_equivalence(chunks):
+    rng = np.random.default_rng(RNG_SEED)
+    mesh = _mesh()
+    n1, n2 = 32, 16
+    re, im = _rand_planar((n1, n2), rng)
+    base = Fft2dPlan(n1, n2, mesh)
+    piped = Fft2dPlan(n1, n2, mesh, pipeline_chunks=chunks)
+    bre, bim = base.fft_planar(re, im)
+    pre, pim = piped.fft_planar(re, im)
+    np.testing.assert_array_equal(np.asarray(bre), np.asarray(pre))
+    np.testing.assert_array_equal(np.asarray(bim), np.asarray(pim))
+
+
+def test_sharded_plans_are_pytrees():
+    mesh = _mesh()
+    plan2d = Fft2dPlan(16, 16, mesh)
+    leaves, treedef = jax.tree_util.tree_flatten(plan2d)
+    again = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert again.n1 == 16 and again.mesh is mesh
+    plan4 = FourStepPlan(16, 16, mesh)
+    leaves, treedef = jax.tree_util.tree_flatten(plan4)
+    assert all(hasattr(l, "dtype") for l in leaves)
+    again = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert again.size == 256 and again.natural_order is plan4.natural_order
+
+
+def test_fft2d_jit_with_plan_argument():
+    """A sharded plan passes through jit as a pytree argument."""
+    rng = np.random.default_rng(RNG_SEED)
+    mesh = _mesh()
+    n1 = n2 = 16
+    re, im = _rand_planar((n1, n2), rng)
+    plan = Fft2dPlan(n1, n2, mesh)
+
+    @jax.jit
+    def run(p, a, b):
+        return p.fft_planar(a, b)
+
+    ore, oim = run(plan, re, im)
+    sre, sim = plan.fft_planar(re, im)
+    np.testing.assert_allclose(np.asarray(ore), np.asarray(sre), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(oim), np.asarray(sim), atol=1e-5)
+
+
+def test_sharded_plan_serialize_roundtrip(tmp_path):
+    from fourier_tpu.plan.serialize import load_plan, save_plan
+
+    rng = np.random.default_rng(RNG_SEED)
+    mesh = _mesh()
+    n1, n2 = 16, 32
+    plan = Fft2dPlan(n1, n2, mesh, pipeline_chunks=2)
+    path = str(tmp_path / "fft2d.npz")
+    save_plan(plan, path)
+    with pytest.raises(ValueError):
+        load_plan(path)  # sharded plans need a mesh to rebind
+    with pytest.raises(ValueError):
+        load_plan(path, mesh=Mesh(np.array(jax.devices()[:4]), ("fft",)))
+    again = load_plan(path, mesh=mesh)
+    re, im = _rand_planar((n1, n2), rng)
+    ore, oim = plan.fft_planar(re, im)
+    lre, lim = again.fft_planar(re, im)
+    np.testing.assert_array_equal(np.asarray(ore), np.asarray(lre))
+    np.testing.assert_array_equal(np.asarray(oim), np.asarray(lim))
+
+    plan4 = FourStepPlan(16, 16, mesh, natural_order=True)
+    path4 = str(tmp_path / "fourstep.npz")
+    save_plan(plan4, path4)
+    again4 = load_plan(path4, mesh=mesh)
+    fre, fim = _rand_planar((16, 16), rng)
+    np.testing.assert_array_equal(
+        np.asarray(plan4.fft_planar(fre, fim)[0]),
+        np.asarray(again4.fft_planar(fre, fim)[0]),
+    )
+
+
+# ---------------------------------------------------------------------------
+# c128 across the sharded surface (dd 4-plane and native-f64 2-plane)
+# ---------------------------------------------------------------------------
+
+
+def _rand_c128(shape, rng):
+    return (
+        rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+    ).astype(np.complex128)
+
+
+def test_batched_transform_dd_matches_single():
+    # n=32 keeps this a pure-Stockham dd plan: a Bluestein size here would
+    # compile a dd inner FFT through shard_map (minutes on the CPU mesh);
+    # dd-Bluestein coverage lives in test_dd.py / test_ndim.py (eager numpy).
+    from fourier_tpu.precision import DdFftPlan
+    from fourier_tpu.precision import ddreal as dd
+
+    rng = np.random.default_rng(RNG_SEED)
+    mesh = _mesh("batch")
+    plan = DdFftPlan(32)
+    x = _rand_c128((16, 32), rng)
+    rh, rl = dd.from_f64(x.real)
+    ih, il = dd.from_f64(x.imag)
+    orh, orl, oih, oil = batched_transform_dd(
+        plan, rh, rl, ih, il, mesh, axis="batch"
+    )
+    got = dd.to_f64((np.asarray(orh), np.asarray(orl))) + 1j * dd.to_f64(
+        (np.asarray(oih), np.asarray(oil))
+    )
+    want = np.fft.fft(x, axis=-1)
+    assert np.linalg.norm(got - want) < 1e-12 * np.linalg.norm(want)
+
+
+def test_fft2d_c128_dd():
+    """Sharded 2-D c128 via the 4-plane dd path meets the 1e-12 gate.
+
+    One pipelined configuration at a small size: dd graphs through shard_map
+    are compile-heavy on the CPU mesh, and pipelined-vs-monolithic exactness
+    is already covered (cheaply) by the c64 equivalence tests.
+    """
+    rng = np.random.default_rng(RNG_SEED)
+    mesh = _mesh()
+    n1 = n2 = 16
+    x = _rand_c128((n1, n2), rng)
+    plan = Fft2dPlan(
+        n1, n2, mesh, dtype=np.complex128, backend="dd",
+        pipeline_chunks=2,
+    )
+    assert plan.is_dd and plan.nplanes == 4
+    got = plan.fft(x)
+    want = np.fft.fft2(x)
+    assert np.linalg.norm(got - want) < 1e-12 * np.linalg.norm(want)
+    back = plan.ifft(got)
+    assert np.linalg.norm(back - x) < 1e-12 * np.linalg.norm(x)
+
+
+def test_four_step_c128_dd_natural_order():
+    rng = np.random.default_rng(RNG_SEED)
+    mesh = _mesh()
+    n1 = n2 = 16
+    x = _rand_c128(n1 * n2, rng)
+    plan = FourStepPlan(
+        n1, n2, mesh, dtype=np.complex128, backend="dd", natural_order=True
+    )
+    got = plan.fft(x)
+    want = np.fft.fft(x)
+    assert np.linalg.norm(got - want) < 1e-12 * np.linalg.norm(want)
+
+
+def test_fft2d_c128_native_f64():
+    """On an x64 host c128 sharded plans run 2-plane native f64."""
+    rng = np.random.default_rng(RNG_SEED)
+    mesh = _mesh()
+    n1, n2 = 16, 16
+    x = _rand_c128((n1, n2), rng)
+    plan = Fft2dPlan(n1, n2, mesh, dtype=np.complex128, backend="stockham")
+    assert not plan.is_dd
+    got = plan.fft(x)
+    want = np.fft.fft2(x)
+    assert np.linalg.norm(got - want) < 1e-12 * np.linalg.norm(want)
+
+
+def test_dd_plane_api_mismatch_raises():
+    mesh = _mesh()
+    plan = Fft2dPlan(16, 16, mesh, dtype=np.complex128, backend="dd")
+    with pytest.raises(TypeError):
+        plan.transform_planar(np.zeros((16, 16), np.float32),
+                              np.zeros((16, 16), np.float32))
+    plan_c64 = Fft2dPlan(16, 16, mesh)
+    with pytest.raises(TypeError):
+        plan_c64.transform_planar_dd(
+            *(np.zeros((16, 16), np.float32),) * 4
+        )
