@@ -18,6 +18,7 @@
 
 #include <cmath>
 #include <cstdint>
+#include <limits>
 
 namespace fourier_tpu {
 namespace {
@@ -42,6 +43,15 @@ struct Factorization {
   std::vector<std::size_t> radices;  // expanded stage order
   bool ok = false;
 };
+
+// Full-precision text table dump (round-trips exactly through parsing).
+template <typename T>
+void dump_table(std::ostream& os, const char* name,
+                const std::vector<std::complex<T>>& v) {
+  os.precision(std::numeric_limits<T>::max_digits10);
+  os << "table " << name << ' ' << v.size() << '\n';
+  for (const auto& z : v) os << z.real() << ' ' << z.imag() << '\n';
+}
 
 Factorization factorize(std::size_t n) {
   static constexpr std::size_t kSchedule[] = {4, 8, 4, 3, 2};
@@ -83,6 +93,15 @@ class StockhamPlan final : public FftPlan<T> {
   }
 
   std::size_t size() const override { return n_; }
+
+  void dump(std::ostream& os) const override {
+    os << "plan stockham\nsize " << n_ << "\nradices";
+    for (std::size_t r : radices_) os << ' ' << r;
+    os << '\n';
+    dump_table(os, "fwd_tw", fwd_tw_);
+    dump_table(os, "inv_tw", inv_tw_);
+    os << "end\n";
+  }
 
   void transform_in_place(std::complex<T>* data, Transform t) override {
     const bool forward = is_forward(t);
@@ -262,6 +281,17 @@ class BluesteinPlan final : public FftPlan<T> {
   }
 
   std::size_t size() const override { return n_; }
+
+  void dump(std::ostream& os) const override {
+    os << "plan bluestein\nsize " << n_ << "\ninner_size " << m_ << '\n';
+    dump_table(os, "x_fwd", x_fwd_);
+    dump_table(os, "x_inv", x_inv_);
+    dump_table(os, "w_fwd", w_fwd_);
+    dump_table(os, "w_inv", w_inv_);
+    os << "inner\n";
+    inner_->dump(os);
+    os << "end\n";
+  }
 
   void transform_in_place(std::complex<T>* data, Transform t) override {
     const bool forward = is_forward(t);

@@ -13,6 +13,7 @@
 #include <complex>
 #include <cstddef>
 #include <memory>
+#include <ostream>
 #include <vector>
 
 namespace fourier_tpu {
@@ -40,6 +41,14 @@ class FftPlan {
   // scratch buffer; a single plan must not be used concurrently from multiple
   // threads (matches the reference's Send-not-Sync contract).
   virtual void transform_in_place(std::complex<T>* data, Transform t) = 0;
+
+  // Introspection: write the plan's static structure (kind, schedule) and
+  // every precomputed table as machine-readable text. Exists so the Python
+  // planner and this native planner can be diffed against each other — the
+  // two implementations share semantics by contract, and the plan-parity
+  // test (tools/dump_plan.cpp + tests/check_plan_parity.py) turns that
+  // contract into a ctest gate.
+  virtual void dump(std::ostream& os) const = 0;
 
   void transform(const std::complex<T>* in, std::complex<T>* out, Transform t) {
     for (std::size_t i = 0; i < size(); ++i) out[i] = in[i];

@@ -87,6 +87,37 @@ def test_native_errors():
         plan.fft(np.zeros(9, np.complex64))
 
 
+def test_plan_parity_native_vs_python():
+    """The C++ planner and Python planner agree on schedule + tables.
+
+    Runs the same checker the ctest `plan_parity` gate uses, over sizes
+    {64, 73, 100, 243, 1013} x {f32, f64} (every plan family).
+    """
+    import os
+    import sys
+
+    ffi.build_library()
+    dump_bin = ffi._BUILD_DIR / "dump_plan"
+    if not dump_bin.exists():
+        subprocess.run(
+            ["ninja", "-C", str(ffi._BUILD_DIR), "dump_plan"],
+            check=True,
+            capture_output=True,
+        )
+    checker = ffi._FFI_DIR / "tests" / "check_plan_parity.py"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (
+        str(ffi._FFI_DIR.parent.parent) + os.pathsep + env.get("PYTHONPATH", "")
+    )
+    result = subprocess.run(
+        [sys.executable, str(checker), str(dump_bin)],
+        capture_output=True,
+        text=True,
+        env=env,
+    )
+    assert result.returncode == 0, result.stdout + result.stderr
+
+
 def test_ctest_suite_passes():
     """Run the native ctest suite (C + C++, static + shared)."""
     build_dir = ffi._BUILD_DIR
