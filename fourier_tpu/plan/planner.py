@@ -25,7 +25,8 @@ maximizes jit-cache hits on the execute path.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from collections import OrderedDict
+from typing import Tuple
 
 import numpy as np
 
@@ -34,7 +35,11 @@ from fourier_tpu.plan.base import FftPlan
 from fourier_tpu.plan.bluestein import BluesteinPlan
 from fourier_tpu.plan.mxu import MxuFftPlan
 
-_PLAN_CACHE: Dict[Tuple[int, str, str], FftPlan] = {}
+# LRU-bounded: twiddle tables for big plans are MBs, and each distinct plan
+# object also anchors jit executables — a loop over many sizes must not grow
+# host memory without bound.
+_PLAN_CACHE: "OrderedDict[Tuple[int, str, str], FftPlan]" = OrderedDict()
+_PLAN_CACHE_MAX = 256
 
 BACKENDS = ("auto", "mxu", "stockham", "dd", "vpu")
 
@@ -130,6 +135,7 @@ def create_fft(
         _require_x64()
     key = (int(size), dtype.name, resolved)
     if cache and key in _PLAN_CACHE:
+        _PLAN_CACHE.move_to_end(key)
         return _PLAN_CACHE[key]
     if resolved == "mxu":
         plan = _create_mxu(size, dtype)
@@ -151,6 +157,8 @@ def create_fft(
         plan = _create_stockham(size, dtype)
     if cache:
         _PLAN_CACHE[key] = plan
+        while len(_PLAN_CACHE) > _PLAN_CACHE_MAX:
+            _PLAN_CACHE.popitem(last=False)
     return plan
 
 

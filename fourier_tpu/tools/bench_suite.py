@@ -1,17 +1,34 @@
-"""Comparative benchmark harness: fourier-tpu vs numpy.fft vs scipy.fft.
+"""Comparative benchmark harness: fourier-tpu vs numpy.fft / scipy.fft / FFTW.
 
 The fourier-bench analog (``fourier-bench/benches/fft_bench.rs``): the same
 five size families — pow2 {256,512,1024}, pow3 {243,729,2187}, pow5
-{125,625,3125}, composite {222,722,1418}, prime {191,439,1013} — across
-{forward, inverse}, benchmarking this framework's TPU path against the host
-FFTW-convention baselines (numpy.fft / scipy.fft on CPU), reporting wall time
-per transform and GFLOP/s (5*N*log2(N) convention).
+{125,625,3125}, composite {222,722,1418}, prime {191,439,1013} — across the
+reference's full matrix {c64, c128} x {fft, ifft} (``fft_bench.rs:141-159``),
+benchmarking this framework's TPU path against host baselines, reporting wall
+time per batched transform and GFLOP/s (5*N*log2(N) convention).
 
-Because the TPU is reached over a ~6 ms-latency tunnel, device timing chains
-CHAIN applications inside one jit dispatch (unitary mode keeps magnitudes
-bounded); host baselines are timed directly.
+Baselines: numpy.fft and scipy.fft (pocketfft — the same split-radix family
+as FFTW and its performance proxy). The reference also benches FFTW proper
+(``fft_bench.rs:49-70``); **pyfftw is not installed in this image** (no
+network installs), so the `fftw` column reports per-row when the module is
+importable and the correctness gate is taken against scipy explicitly.
 
-Run:  python -m fourier_tpu.tools.bench_suite [--json out.json] [--batch B]
+Methodology (matches bench.py, per the round-1 review): iterations are
+DEPENDENT — each jitted step runs CHAIN transforms via ``lax.scan`` with the
+output feeding the next input (unitary sqrt-scaled modes keep magnitudes
+bounded), so no dispatch can be elided or dishonestly overlapped; the
+steady-state per-transform rate is what a sustained spectral pipeline sees.
+Batch follows BASELINE.json config 4: 65536 lanes at n<=1024, scaled down
+inversely above to hold the per-step footprint constant. c128 rows run the
+double-word (dd) path on TPU — each nominal flop costs ~10 hardware f32
+flops, so dd GFLOP/s are reported in the same nominal convention (the
+apples-to-apples number vs a native-f64 host).
+
+Every row also records ``rel_l2`` — single-application relative L2 error vs
+scipy on the same inputs (the correctness gate riding along with the timing).
+
+Run:  python -m fourier_tpu.tools.bench_suite [--json out.json]
+      [--family pow2 ...] [--max-sizes K] [--dtype c64|c128] [--batch B]
 """
 
 from __future__ import annotations
@@ -19,7 +36,7 @@ from __future__ import annotations
 import argparse
 import json
 import time
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -31,16 +48,44 @@ SIZE_FAMILIES = {
     "prime": [191, 439, 1013],
 }
 
-CHAIN = 8
-ITERS = 5
+CHAIN = 128
+CHAIN_DD = 16  # dd transforms are ~10x the work; keep steps bounded
+ITERS = 3
+HOST_ITERS = 5
 
 
 def _gflops(n: int, batch: int, seconds: float) -> float:
     return 5.0 * n * np.log2(max(n, 2)) * batch / seconds / 1e9
 
 
+def default_batch(n: int, base: int = 65536) -> int:
+    """BASELINE config-4 batch at n<=1024; constant footprint above."""
+    if n <= 1024:
+        return base
+    b = base * 1024 // n
+    return max(1024, 1 << int(np.log2(b)))
+
+
+def _time_steps(step, args, chain: int, iters: int):
+    """Median steady-state seconds per transform over 3 dependent rounds."""
+    import jax
+
+    out = step(*args)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        cur = out
+        for _ in range(iters):
+            cur = step(*cur)
+        jax.block_until_ready(cur)
+        times.append((time.perf_counter() - t0) / (iters * chain))
+        out = cur
+    return sorted(times)[1]
+
+
 def bench_fourier_tpu(n: int, batch: int, forward: bool) -> float:
-    """Seconds per batched transform on the default (TPU) backend."""
+    """Seconds per batched c64 transform on the default backend."""
     import jax
 
     import fourier_tpu as ft
@@ -48,56 +93,153 @@ def bench_fourier_tpu(n: int, batch: int, forward: bool) -> float:
 
     plan = ft.create_fft(n, np.complex64)
     mode = Transform.SQRT_SCALED_FFT if forward else Transform.SQRT_SCALED_IFFT
+    batch_minor = hasattr(plan, "transform_planar_bm")
+
+    if batch_minor:
+        apply_fn = lambda re, im: plan.transform_planar_bm(re, im, mode)
+        shape = (n, batch)
+    else:
+        apply_fn = lambda re, im: plan._apply(re, im, mode)
+        shape = (batch, n)
 
     @jax.jit
     def step(re, im):
-        for _ in range(CHAIN):
-            re, im = plan.transform_planar(re, im, mode)
+        def body(carry, _):
+            r, i = carry
+            return apply_fn(r, i), None
+
+        (re, im), _ = jax.lax.scan(body, (re, im), None, length=CHAIN)
         return re, im
 
     rng = np.random.default_rng(0)
-    re = jax.numpy.asarray(rng.standard_normal((batch, n)).astype(np.float32))
-    im = jax.numpy.asarray(rng.standard_normal((batch, n)).astype(np.float32))
-    out = step(re, im)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = step(re, im)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / (ITERS * CHAIN)
+    re = jax.numpy.asarray(rng.standard_normal(shape).astype(np.float32))
+    im = jax.numpy.asarray(rng.standard_normal(shape).astype(np.float32))
+    return _time_steps(step, (re, im), CHAIN, ITERS)
 
 
-def bench_numpy(n: int, batch: int, forward: bool) -> float:
+def bench_fourier_tpu_dd(n: int, batch: int, forward: bool) -> float:
+    """Seconds per batched c128 transform (double-word path on TPU)."""
+    import jax
+
+    import fourier_tpu as ft
+    from fourier_tpu.transform import Transform
+
+    plan = ft.create_fft(n, np.complex128)
+    mode = Transform.SQRT_SCALED_FFT if forward else Transform.SQRT_SCALED_IFFT
+
+    if hasattr(plan, "_apply_dd"):
+        apply_fn = lambda *p: plan._apply_dd(((p[0], p[1]), (p[2], p[3])), mode)
+        unpack = lambda v: (v[0][0], v[0][1], v[1][0], v[1][1])
+    else:  # native-f64 host path (x64 CPU): planes are (re, im, 0, 0)
+        apply_fn = lambda *p: plan._apply(p[0], p[2], mode)
+        unpack = None
+
+    @jax.jit
+    def step(rh, rl, ih, il):
+        def body(carry, _):
+            if unpack is not None:
+                return unpack(apply_fn(*carry)), None
+            re, im = apply_fn(*carry)
+            return (re, carry[1], im, carry[3]), None
+
+        carry, _ = jax.lax.scan(body, (rh, rl, ih, il), None, length=CHAIN_DD)
+        return carry
+
     rng = np.random.default_rng(0)
-    x = (rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))).astype(
-        np.complex64
-    )
-    fn = np.fft.fft if forward else np.fft.ifft
-    fn(x, axis=-1)
+    x = rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))
+    if unpack is not None:
+        from fourier_tpu.precision import ddreal as dd
+
+        rh, rl = dd.from_f64(x.real)
+        ih, il = dd.from_f64(x.imag)
+        planes = tuple(
+            jax.numpy.asarray(p) for p in (rh, rl, ih, il)
+        )
+    else:
+        z = np.zeros_like(x.real)
+        planes = tuple(
+            jax.numpy.asarray(p) for p in (x.real, z, x.imag, z)
+        )
+    return _time_steps(step, planes, CHAIN_DD, ITERS)
+
+
+def _host_bench(fn, x, iters: int = HOST_ITERS) -> float:
+    fn(x)
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        fn(x, axis=-1)
-    return (time.perf_counter() - t0) / ITERS
+    for _ in range(iters):
+        fn(x)
+    return (time.perf_counter() - t0) / iters
 
 
-def bench_scipy(n: int, batch: int, forward: bool) -> float:
+def bench_numpy(n: int, batch: int, forward: bool, dtype) -> float:
+    rng = np.random.default_rng(0)
+    x = (
+        rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))
+    ).astype(dtype)
+    fn = np.fft.fft if forward else np.fft.ifft
+    return _host_bench(lambda a: fn(a, axis=-1), x)
+
+
+def bench_scipy(n: int, batch: int, forward: bool, dtype) -> float:
     try:
         import scipy.fft as sfft
     except ImportError:  # pragma: no cover
         return float("nan")
     rng = np.random.default_rng(0)
-    x = (rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))).astype(
-        np.complex64
-    )
+    x = (
+        rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))
+    ).astype(dtype)
     fn = sfft.fft if forward else sfft.ifft
-    fn(x, axis=-1)
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        fn(x, axis=-1)
-    return (time.perf_counter() - t0) / ITERS
+    return _host_bench(lambda a: fn(a, axis=-1), x)
 
 
-def run(batch: int = 1024, families=None, max_sizes: int = 0) -> List[Dict]:
+def bench_fftw(n: int, batch: int, forward: bool, dtype) -> Optional[float]:
+    """FFTW via pyfftw when importable; None when absent (this image)."""
+    try:
+        import pyfftw  # noqa: F401
+    except ImportError:
+        return None
+    import pyfftw.interfaces.numpy_fft as fftw
+
+    rng = np.random.default_rng(0)
+    x = (
+        rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))
+    ).astype(dtype)
+    fn = fftw.fft if forward else fftw.ifft
+    return _host_bench(lambda a: fn(a, axis=-1), x)
+
+
+def accuracy_rel_l2(n: int, forward: bool, dtype) -> float:
+    """Single-application rel-L2 of this framework vs scipy (the gate)."""
+    import scipy.fft as sfft
+
+    import fourier_tpu as ft
+    from fourier_tpu.transform import Transform
+
+    rng = np.random.default_rng(1)
+    x = (
+        rng.standard_normal((64, n)) + 1j * rng.standard_normal((64, n))
+    ).astype(dtype)
+    plan = ft.create_fft(n, dtype)
+    mode = Transform.FFT if forward else Transform.IFFT
+    if hasattr(plan, "transform"):
+        got = np.asarray(plan.transform(x, mode))
+    else:  # pragma: no cover
+        raise TypeError(f"plan {plan!r} lacks a complex API")
+    want = (sfft.fft if forward else sfft.ifft)(
+        x.astype(np.complex128), axis=-1
+    )
+    return float(
+        np.linalg.norm(got - want) / max(np.linalg.norm(want), 1e-30)
+    )
+
+
+def run(
+    batch: Optional[int] = None,
+    families=None,
+    max_sizes: int = 0,
+    dtypes=("c64", "c128"),
+) -> List[Dict]:
     rows = []
     for family, sizes in SIZE_FAMILIES.items():
         if families and family not in families:
@@ -105,45 +247,75 @@ def run(batch: int = 1024, families=None, max_sizes: int = 0) -> List[Dict]:
         if max_sizes:
             sizes = sizes[:max_sizes]
         for n in sizes:
-            for forward in (True, False):
-                row = {
-                    "family": family,
-                    "n": n,
-                    "direction": "fft" if forward else "ifft",
-                    "batch": batch,
-                }
-                for name, fn in (
-                    ("fourier_tpu", bench_fourier_tpu),
-                    ("numpy", bench_numpy),
-                    ("scipy", bench_scipy),
-                ):
+            for dkey in dtypes:
+                dtype = np.complex64 if dkey == "c64" else np.complex128
+                b = batch or default_batch(n)
+                if dkey == "c128":
+                    b = max(1024, b // 8)  # dd is ~10x work/bytes per lane
+                for forward in (True, False):
+                    row = {
+                        "family": family,
+                        "n": n,
+                        "dtype": dkey,
+                        "direction": "fft" if forward else "ifft",
+                        "batch": b,
+                        "chain": CHAIN if dkey == "c64" else CHAIN_DD,
+                    }
+                    ours = (
+                        bench_fourier_tpu
+                        if dkey == "c64"
+                        else bench_fourier_tpu_dd
+                    )
+                    for name, fn in (
+                        ("fourier_tpu", lambda: ours(n, b, forward)),
+                        ("numpy", lambda: bench_numpy(n, b, forward, dtype)),
+                        ("scipy", lambda: bench_scipy(n, b, forward, dtype)),
+                        ("fftw", lambda: bench_fftw(n, b, forward, dtype)),
+                    ):
+                        try:
+                            dt = fn()
+                            if dt is None:
+                                row[f"{name}_note"] = "pyfftw not installed"
+                                continue
+                            row[f"{name}_us"] = round(dt * 1e6, 1)
+                            row[f"{name}_gflops"] = round(
+                                _gflops(n, b, dt), 1
+                            )
+                        except Exception as e:  # pragma: no cover
+                            row[f"{name}_error"] = str(e)[:150]
                     try:
-                        dt = fn(n, batch, forward)
-                        row[f"{name}_us"] = round(dt * 1e6, 1)
-                        row[f"{name}_gflops"] = round(_gflops(n, batch, dt), 1)
+                        row["rel_l2"] = accuracy_rel_l2(n, forward, dtype)
                     except Exception as e:  # pragma: no cover
-                        row[f"{name}_error"] = str(e)[:100]
-                rows.append(row)
-                r = rows[-1]
-                print(
-                    f"{family:10s} n={n:5d} {row['direction']:4s} "
-                    f"tpu={r.get('fourier_tpu_gflops', '?'):>8} GF  "
-                    f"numpy={r.get('numpy_gflops', '?'):>7} GF  "
-                    f"scipy={r.get('scipy_gflops', '?'):>7} GF",
-                    flush=True,
-                )
+                        row["rel_l2_error"] = str(e)[:150]
+                    rows.append(row)
+                    print(
+                        f"{family:10s} n={n:5d} {dkey} {row['direction']:4s} "
+                        f"tpu={row.get('fourier_tpu_gflops', '?'):>8} GF  "
+                        f"numpy={row.get('numpy_gflops', '?'):>7} GF  "
+                        f"scipy={row.get('scipy_gflops', '?'):>7} GF  "
+                        f"rel_l2={row.get('rel_l2', float('nan')):.2e}",
+                        flush=True,
+                    )
     return rows
 
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--json", help="write results to this JSON file")
-    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--batch", type=int, default=0,
+                    help="override batch (0 = BASELINE config-4 scaling)")
     ap.add_argument("--family", action="append", help="limit to these families")
     ap.add_argument("--max-sizes", type=int, default=0,
                     help="limit sizes per family (0 = all)")
+    ap.add_argument("--dtype", action="append", choices=["c64", "c128"],
+                    help="limit dtypes (default both)")
     args = ap.parse_args()
-    rows = run(args.batch, families=args.family, max_sizes=args.max_sizes)
+    rows = run(
+        args.batch or None,
+        families=args.family,
+        max_sizes=args.max_sizes,
+        dtypes=tuple(args.dtype) if args.dtype else ("c64", "c128"),
+    )
     if args.json:
         with open(args.json, "w") as f:
             json.dump(rows, f, indent=1)
