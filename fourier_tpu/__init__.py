@@ -31,6 +31,7 @@ from fourier_tpu.plan import (
 from fourier_tpu.plan.serialize import load_plan, plan_to_bytes, save_plan
 from fourier_tpu.plan.summary import describe, summarize
 from fourier_tpu.ndim import NdFftPlan, fft2, fftn, ifft2, ifftn
+from fourier_tpu.rfft import RfftPlan, irfft, rfft, rfftfreq
 from fourier_tpu.utils.helpers import fftfreq, fftshift, ifftshift
 from fourier_tpu.transform import Transform
 
@@ -100,8 +101,12 @@ __all__ = [
     "ifft_planar",
     "ifftn",
     "ifftshift",
+    "irfft",
     "load_plan",
     "plan_to_bytes",
+    "rfft",
+    "rfftfreq",
+    "RfftPlan",
     "save_plan",
     "summarize",
     "transform",

@@ -1,0 +1,262 @@
+"""Real-input FFTs: rfft / irfft with numpy.fft conventions.
+
+Beyond-reference surface (the Rust reference is complex-to-complex only): real
+transforms halve the work and bandwidth of the dominant real-signal use case.
+TPU-native formulation: for even n the length-n real signal is viewed as a
+length-m = n/2 complex signal (even samples -> re plane, odd samples -> im
+plane — a pure reshape in the planar representation, no gather), one c2c FFT
+of size m runs on whatever kernel the planner picks (fused VPU on TPU), and a
+vectorized Hermitian unpack with a plan-time twiddle table produces the
+n//2+1 one-sided spectrum:
+
+  z[k] = x[2k] + i*x[2k+1],  Z = FFT_m(z)
+  E[k] = (Z[k] + conj(Z[m-k]))/2,   O[k] = -i*(Z[k] - conj(Z[m-k]))/2
+  X[k] = E[k] + W_n^k * O[k]  (k = 0..m-1),   X[m] = E[0] - O[0]
+
+The inverse runs the unpack backwards (O recovered with conj(W)) and one
+scaled c2c IFFT of size m. Odd sizes fall back to a full c2c transform with a
+zero imaginary plane (correct for any n, ~2x the even-path work).
+
+All unpack twiddles are f64 numpy at plan time (twiddle.rs:9-13 discipline);
+everything on-device is planar f32 (or f64 on an x64 host).
+"""
+
+from __future__ import annotations
+
+import functools
+from collections import OrderedDict
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fourier_tpu.plan.planner import create_fft
+from fourier_tpu.transform import Transform
+
+
+class RfftPlan:
+    """Plan for real-input forward / inverse FFTs of length ``n``.
+
+    ``rfft_planar(x)`` maps a real plane (..., n) to planar one-sided spectra
+    (..., n//2+1); ``irfft_planar(re, im)`` inverts it. Complex conveniences
+    ``rfft`` / ``irfft`` handle numpy arrays at the host boundary.
+    """
+
+    def __init__(self, n: int, dtype=np.complex64, *, backend: str = "auto"):
+        self.n = int(n)
+        if self.n < 1:
+            raise ValueError(f"rfft size must be >= 1, got {n}")
+        self.dtype = np.dtype(dtype)
+        if self.dtype not in (np.dtype(np.complex64), np.dtype(np.complex128)):
+            raise ValueError("rfft supports complex64/complex128 spectra")
+        self.even = self.n % 2 == 0 and self.n >= 2
+        if self.even:
+            self.m = self.n // 2
+            self.inner = create_fft(self.m, self.dtype, backend=backend)
+            if not hasattr(self.inner, "_apply"):
+                raise NotImplementedError(
+                    "rfft needs a 2-plane inner plan; the 4-plane dd c128 "
+                    "path is not wired here (use complex128 on an x64 host)"
+                )
+            k = np.arange(self.m, dtype=np.float64)
+            theta = 2.0 * np.pi * k / float(self.n)
+            rt = self.real_dtype
+            self.w_re = jnp.asarray(np.cos(theta).astype(rt))
+            self.w_im = jnp.asarray((-np.sin(theta)).astype(rt))
+        else:
+            self.m = None
+            self.inner = create_fft(self.n, self.dtype, backend=backend)
+            if not hasattr(self.inner, "_apply"):
+                raise NotImplementedError(
+                    "rfft needs a 2-plane inner plan; the 4-plane dd c128 "
+                    "path is not wired here (use complex128 on an x64 host)"
+                )
+            self.w_re = self.w_im = None
+
+    @property
+    def real_dtype(self) -> np.dtype:
+        return np.dtype(np.float32 if self.dtype == np.complex64 else np.float64)
+
+    @property
+    def out_len(self) -> int:
+        return self.n // 2 + 1
+
+    # -- internals ----------------------------------------------------------
+
+    @staticmethod
+    def _mirror(zr, zi):
+        """conj(Z[(m-k) mod m]) planes from Z planes (vectorized unpack)."""
+        zr_rev = jnp.concatenate([zr[..., :1], zr[..., :0:-1]], axis=-1)
+        zi_rev = jnp.concatenate([zi[..., :1], zi[..., :0:-1]], axis=-1)
+        return zr_rev, -zi_rev
+
+    def _rfft_even(self, x):
+        # Even/odd de-interleave is a reshape in planar form: (..., m, 2).
+        pair = x.reshape(*x.shape[:-1], self.m, 2)
+        zr, zi = self.inner._apply(
+            pair[..., 0], pair[..., 1], Transform.FFT
+        )
+        cr, ci = self._mirror(zr, zi)
+        er, ei = 0.5 * (zr + cr), 0.5 * (zi + ci)
+        # O = -0.5i * (Z - conj(Z_rev))
+        odr, odi = zr - cr, zi - ci
+        o_r, o_i = 0.5 * odi, -0.5 * odr
+        # X[k] = E[k] + W^k O[k], k = 0..m-1
+        xr = er + self.w_re * o_r - self.w_im * o_i
+        xi = ei + self.w_re * o_i + self.w_im * o_r
+        # X[m] = E[0] - O[0]
+        last_r = (er[..., :1] - o_r[..., :1])
+        last_i = (ei[..., :1] - o_i[..., :1])
+        return (
+            jnp.concatenate([xr, last_r], axis=-1),
+            jnp.concatenate([xi, last_i], axis=-1),
+        )
+
+    def _irfft_even(self, re, im):
+        # A real signal has real DC and Nyquist bins; numpy's irfft ignores
+        # their imaginary parts on inconsistent input — match that.
+        im = im.at[..., 0].set(0).at[..., -1].set(0)
+        # Recover Z[k] from the one-sided spectrum, k = 0..m-1.
+        xr, xi = re[..., : self.m], im[..., : self.m]
+        # conj(X[m-k]): index m-k for k=0..m-1 walks m, m-1, ..., 1.
+        cr = re[..., self.m:0:-1]
+        ci = -im[..., self.m:0:-1]
+        er, ei = 0.5 * (xr + cr), 0.5 * (xi + ci)
+        # W^k O[k] = (X[k] - conj(X[m-k]))/2  ->  O[k] = conj(W^k) * (...)
+        wor, woi = 0.5 * (xr - cr), 0.5 * (xi - ci)
+        o_r = self.w_re * wor + self.w_im * woi
+        o_i = self.w_re * woi - self.w_im * wor
+        # Z[k] = E[k] + i*O[k]
+        zr, zi = er - o_i, ei + o_r
+        zr, zi = self.inner._apply(zr, zi, Transform.IFFT)  # 1/m scaling
+        out = jnp.stack([zr, zi], axis=-1)
+        return out.reshape(*zr.shape[:-1], self.n)
+
+    def _rfft_odd(self, x):
+        zero = jnp.zeros_like(x)
+        fr, fi = self.inner._apply(x, zero, Transform.FFT)
+        return fr[..., : self.out_len], fi[..., : self.out_len]
+
+    def _irfft_odd(self, re, im):
+        # Rebuild the full Hermitian spectrum, then one scaled c2c IFFT.
+        tail_r = re[..., -1:0:-1]
+        tail_i = -im[..., -1:0:-1]
+        fr = jnp.concatenate([re, tail_r], axis=-1)
+        fi = jnp.concatenate([im, tail_i], axis=-1)
+        xr, _ = self.inner._apply(fr, fi, Transform.IFFT)
+        return xr
+
+    # -- planar API ---------------------------------------------------------
+
+    def rfft_planar(self, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """One-sided spectrum planes (..., n//2+1) of a real plane (..., n)."""
+        x = jnp.asarray(x)
+        if x.shape[-1] != self.n:
+            raise ValueError(f"last axis {x.shape[-1]} != plan size {self.n}")
+        if x.dtype != self.real_dtype:
+            x = x.astype(self.real_dtype)
+        return _execute_rfft(self, x)
+
+    def irfft_planar(self, re, im) -> jnp.ndarray:
+        """Real signal (..., n) from one-sided spectrum planes (..., n//2+1)."""
+        re = jnp.asarray(re)
+        im = jnp.asarray(im)
+        if re.shape[-1] != self.out_len:
+            raise ValueError(
+                f"last axis {re.shape[-1]} != one-sided length {self.out_len}"
+            )
+        rt = self.real_dtype
+        if re.dtype != rt:
+            re = re.astype(rt)
+        if im.dtype != rt:
+            im = im.astype(rt)
+        return _execute_irfft(self, re, im)
+
+    # -- host-boundary conveniences -----------------------------------------
+
+    def rfft(self, x) -> np.ndarray:
+        x = np.asarray(x)
+        re, im = self.rfft_planar(x.astype(self.real_dtype))
+        return (np.asarray(re) + 1j * np.asarray(im)).astype(self.dtype)
+
+    def irfft(self, x) -> np.ndarray:
+        x = np.asarray(x).astype(self.dtype)
+        out = self.irfft_planar(np.real(x), np.imag(x))
+        return np.asarray(out)
+
+    def __repr__(self):
+        kind = "even-split" if self.even else "odd-fallback"
+        return f"RfftPlan(n={self.n}, {kind}, dtype={self.dtype.name})"
+
+    # -- pytree --------------------------------------------------------------
+
+    def tree_flatten(self):
+        return (self.inner, self.w_re, self.w_im), (self.n, self.dtype.name)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        obj.n, dtype_name = aux
+        obj.dtype = np.dtype(dtype_name)
+        obj.inner, obj.w_re, obj.w_im = children
+        obj.even = obj.n % 2 == 0 and obj.n >= 2
+        obj.m = obj.n // 2 if obj.even else None
+        return obj
+
+
+jax.tree_util.register_pytree_node(
+    RfftPlan, lambda p: p.tree_flatten(), RfftPlan.tree_unflatten
+)
+
+
+@jax.jit
+def _execute_rfft(plan, x):
+    return plan._rfft_even(x) if plan.even else plan._rfft_odd(x)
+
+
+@jax.jit
+def _execute_irfft(plan, re, im):
+    return plan._irfft_even(re, im) if plan.even else plan._irfft_odd(re, im)
+
+
+_RFFT_CACHE: OrderedDict = OrderedDict()
+_RFFT_CACHE_MAX = 64
+
+
+def _rfft_plan(n: int, dtype) -> RfftPlan:
+    key = (int(n), np.dtype(dtype).name)
+    if key in _RFFT_CACHE:
+        _RFFT_CACHE.move_to_end(key)
+        return _RFFT_CACHE[key]
+    plan = RfftPlan(n, dtype)
+    _RFFT_CACHE[key] = plan
+    while len(_RFFT_CACHE) > _RFFT_CACHE_MAX:
+        _RFFT_CACHE.popitem(last=False)
+    return plan
+
+
+def rfft(x, dtype=np.complex64) -> np.ndarray:
+    """One-sided FFT of a real array over the last axis (numpy.fft.rfft)."""
+    x = np.asarray(x)
+    return _rfft_plan(x.shape[-1], dtype).rfft(x)
+
+
+def irfft(x, n: Optional[int] = None, dtype=np.complex64) -> np.ndarray:
+    """Inverse of :func:`rfft` (numpy.fft.irfft); ``n`` defaults to even
+    2*(len-1)."""
+    x = np.asarray(x)
+    if n is None:
+        n = 2 * (x.shape[-1] - 1)
+    plan = _rfft_plan(n, dtype)
+    if x.shape[-1] != plan.out_len:
+        raise ValueError(
+            f"spectrum length {x.shape[-1]} inconsistent with n={n} "
+            f"(need {plan.out_len})"
+        )
+    return plan.irfft(x)
+
+
+def rfftfreq(n: int, d: float = 1.0) -> np.ndarray:
+    """Sample frequencies for :func:`rfft` (numpy.fft.rfftfreq)."""
+    return np.arange(n // 2 + 1, dtype=np.float64) / (float(n) * float(d))

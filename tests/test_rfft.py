@@ -1,0 +1,95 @@
+"""Real-input transform tests vs numpy.fft.rfft / irfft."""
+
+import numpy as np
+import pytest
+
+from fourier_tpu.rfft import RfftPlan, irfft, rfft, rfftfreq
+
+RNG_SEED = 0x5EA1
+
+
+@pytest.mark.parametrize("n", [2, 4, 16, 48, 64, 100, 256, 1024])
+def test_rfft_even_vs_numpy(n):
+    rng = np.random.default_rng(RNG_SEED + n)
+    x = rng.standard_normal((3, n)).astype(np.float32)
+    got = rfft(x)
+    want = np.fft.rfft(x, axis=-1)
+    assert got.shape == want.shape
+    assert np.linalg.norm(got - want) < 1e-5 * np.linalg.norm(want)
+
+
+@pytest.mark.parametrize("n", [1, 3, 7, 15, 81, 243])
+def test_rfft_odd_vs_numpy(n):
+    rng = np.random.default_rng(RNG_SEED + n)
+    x = rng.standard_normal(n).astype(np.float32)
+    got = rfft(x)
+    want = np.fft.rfft(x)
+    assert got.shape == want.shape
+    assert np.linalg.norm(got - want) < 1e-5 * max(np.linalg.norm(want), 1.0)
+
+
+@pytest.mark.parametrize("n", [4, 16, 100, 7, 15])
+def test_irfft_roundtrip(n):
+    rng = np.random.default_rng(RNG_SEED + n)
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    back = irfft(rfft(x), n=n)
+    assert back.shape == x.shape
+    np.testing.assert_allclose(back, x, atol=1e-5)
+
+
+def test_irfft_vs_numpy():
+    rng = np.random.default_rng(RNG_SEED)
+    spec = (
+        rng.standard_normal((2, 33)) + 1j * rng.standard_normal((2, 33))
+    ).astype(np.complex64)
+    got = irfft(spec)  # n = 64
+    want = np.fft.irfft(spec, axis=-1)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_rfft_c128_x64():
+    rng = np.random.default_rng(RNG_SEED)
+    n = 96
+    x = rng.standard_normal(n)
+    plan = RfftPlan(n, np.complex128)
+    got = plan.rfft(x)
+    want = np.fft.rfft(x)
+    assert np.linalg.norm(got - want) < 1e-12 * np.linalg.norm(want)
+    back = plan.irfft(got)
+    np.testing.assert_allclose(back, x, atol=1e-12)
+
+
+def test_rfft_planar_jit_and_pytree():
+    import jax
+
+    rng = np.random.default_rng(RNG_SEED)
+    n = 64
+    plan = RfftPlan(n)
+    x = rng.standard_normal((4, n)).astype(np.float32)
+
+    @jax.jit
+    def run(p, a):
+        return p.rfft_planar(a)
+
+    re, im = run(plan, x)
+    want = np.fft.rfft(x, axis=-1)
+    got = np.asarray(re) + 1j * np.asarray(im)
+    assert np.linalg.norm(got - want) < 1e-5 * np.linalg.norm(want)
+
+
+def test_rfftfreq():
+    for n in (8, 9, 16):
+        np.testing.assert_allclose(rfftfreq(n, d=0.25), np.fft.rfftfreq(n, d=0.25))
+
+
+def test_rfft_validation():
+    plan = RfftPlan(16)
+    with pytest.raises(ValueError):
+        plan.rfft_planar(np.zeros((2, 17), np.float32))
+    with pytest.raises(ValueError):
+        plan.irfft_planar(np.zeros(8, np.float32), np.zeros(8, np.float32))
+    with pytest.raises(ValueError):
+        RfftPlan(0)
+    with pytest.raises(ValueError):
+        irfft(np.zeros(9, np.complex64), n=14)
