@@ -104,14 +104,18 @@ def test_backends_agree(n):
     )
 
 
-def test_nd_dd_guard():
+def test_nd_c128_both_representations():
+    """c128 N-D works through both the native-f64 and 4-plane dd paths."""
     import jax
 
     from fourier_tpu.ndim import NdFftPlan
 
     if jax.config.jax_enable_x64:
-        # On x64 hosts c128 resolves to stockham and works.
+        # On x64 hosts c128 resolves to stockham (2-plane native f64).
         plan = NdFftPlan((8, 8), np.complex128)
-        assert plan.size == 64
-    with pytest.raises((NotImplementedError, ValueError)):
-        NdFftPlan((8, 8), np.complex128, backend="dd")
+        assert plan.size == 64 and not plan.is_dd
+    plan_dd = NdFftPlan((8, 8), np.complex128, backend="dd")
+    assert plan_dd.is_dd
+    x = np.eye(8, dtype=np.complex128)
+    got = plan_dd.fft(x)
+    np.testing.assert_allclose(got, np.fft.fft2(x), atol=1e-12)
