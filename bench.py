@@ -56,12 +56,21 @@ def main():
         "expected the fused batch-minor plan on TPU; got " + repr(plan)
     )
 
+    # CHAIN dependent iterations via lax.scan: same steady-state measurement
+    # as an unrolled loop (verified within run-to-run jitter), but the traced
+    # graph is one iteration instead of 128 — the unrolled form's remote
+    # compile occasionally exceeded the driver's timeout on this tunnel.
     @jax.jit
     def step(re_t, im_t):
-        for _ in range(CHAIN):
-            re_t, im_t = plan.transform_planar_bm(
-                re_t, im_t, Transform.SQRT_SCALED_FFT
+        def body(carry, _):
+            r, i = plan.transform_planar_bm(
+                carry[0], carry[1], Transform.SQRT_SCALED_FFT
             )
+            return (r, i), None
+
+        (re_t, im_t), _ = jax.lax.scan(
+            body, (re_t, im_t), None, length=CHAIN
+        )
         return re_t, im_t
 
     rng = np.random.default_rng(0)
