@@ -117,6 +117,29 @@ def _create_mxu(size: int, dtype: np.dtype, *, vpu_first: bool = False) -> FftPl
     return BluesteinPlan.create(size, dtype, inner_factory=inner_factory)
 
 
+def _create_dd(size: int):
+    """Best dd (c128 double-word) plan for this backend.
+
+    On TPU: the fused all-stages-in-VMEM dd VPU kernel where its size
+    restriction allows (2^a*3^b, 8|n, 64..8192), and Bluestein with a fused
+    power-of-two inner for everything else. Off-TPU: the XLA dd plan (the
+    differential oracle; also the exact-IEEE eager-numpy path).
+    """
+    import jax
+
+    from fourier_tpu.precision import DdFftPlan
+
+    if jax.default_backend() == "tpu":
+        from fourier_tpu.precision.vpu_dd_plan import VpuDdFftPlan
+
+        plan = VpuDdFftPlan.create(size)
+        if plan is not None:
+            return plan
+        inner_factory = lambda m: VpuDdFftPlan.create(m) or DdFftPlan(m)
+        return DdFftPlan(size, inner_factory=inner_factory)
+    return DdFftPlan(size)
+
+
 def create_fft(
     size: int, dtype=np.complex64, *, backend: str = "auto", cache: bool = True
 ) -> FftPlan:
@@ -140,9 +163,7 @@ def create_fft(
     if resolved == "mxu":
         plan = _create_mxu(size, dtype)
     elif resolved == "dd":
-        from fourier_tpu.precision import DdFftPlan
-
-        plan = DdFftPlan(size)
+        plan = _create_dd(size)
     elif resolved == "vpu":
         # Fused all-stages-in-VMEM kernel (powers of two 64..8192, batch-minor
         # native layout — the fastest path on this chip); other sizes compose

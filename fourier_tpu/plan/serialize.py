@@ -39,6 +39,7 @@ def _plan_registry():
     from fourier_tpu.plan.mxu import MxuFftPlan
     from fourier_tpu.plan.vpu import VpuFftPlan
     from fourier_tpu.precision.dd_plan import DdFftPlan
+    from fourier_tpu.precision.vpu_dd_plan import VpuDdFftPlan
 
     return {
         cls.__name__: cls
@@ -49,6 +50,7 @@ def _plan_registry():
             MxuFftPlan,
             VpuFftPlan,
             DdFftPlan,
+            VpuDdFftPlan,
             FourStepPlan,
             Fft2dPlan,
         )

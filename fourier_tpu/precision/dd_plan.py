@@ -96,7 +96,7 @@ class DdFftPlan:
 
     dtype = np.dtype(np.complex128)
 
-    def __init__(self, size: int):
+    def __init__(self, size: int, inner_factory=None):
         if size < 1:
             raise ValueError(f"FFT size must be >= 1, got {size}")
         self.size = int(size)
@@ -109,7 +109,10 @@ class DdFftPlan:
         else:
             self.kind = "bluestein"
             m = next_power_of_two(2 * size - 1)
-            self.inner = DdFftPlan(m)
+            # inner_factory lets the planner substitute a faster power-of-two
+            # dd plan (the fused VPU dd kernel on TPU); any object with the
+            # `_apply_dd` interface works.
+            self.inner = (inner_factory or DdFftPlan)(m)
             n_idx = np.arange(m, dtype=np.float64)
             d = np.where(n_idx < size, n_idx**2, (n_idx - m) ** 2)
             mask = (n_idx < size) | (n_idx > m - size)

@@ -26,22 +26,31 @@ DD = Tuple  # (hi, lo)
 
 
 def _opaque(x):
-    """Hide a value from algebraic simplification.
+    """Force a value to one correctly-rounded f32 materialization.
 
-    The TPU compiler (xla_allow_excess_precision + algebraic simplifier)
-    otherwise folds patterns like ``(a + b) - a`` to ``b``, destroying the
-    error-free transformations (measured: rel-L2 degrades from 1e-15 to
-    1e-8 without this). An optimization barrier keeps the rounded
-    intermediate as a real f32 value.
+    Two compiler behaviors otherwise destroy the error-free transformations
+    (both measured, rel-L2 degrades 1e-15 -> 5e-8):
+
+    * the XLA algebraic simplifier folds patterns like ``(a + b) - a`` to
+      ``b`` (TPU, xla_allow_excess_precision);
+    * XLA:CPU codegen contracts ``a*b + c`` into fma — ``optimization_barrier``
+      does NOT survive to codegen (OptimizationBarrierExpander strips it
+      after the HLO passes), fusions then re-materialize the product per
+      consumer, and the sum path sees the *unrounded* product while the
+      residual path sees the rounded one, breaking fast2sum.
+
+    ``lax.reduce_precision(x, 8, 23)`` solves both: numerically the identity
+    on f32, but a real HLO op that persists through codegen, so no
+    simplification or contraction can reach across it.
     """
     try:
         import jax
 
         if isinstance(x, jax.core.Tracer) or isinstance(x, jax.Array):
-            return jax.lax.optimization_barrier(x)
+            return jax.lax.reduce_precision(x, 8, 23)
     except Exception:  # pragma: no cover
         pass
-    return x  # numpy path: numpy never simplifies algebraically
+    return x  # numpy path: numpy never simplifies or contracts
 
 
 def two_sum(a, b):
@@ -53,7 +62,16 @@ def two_sum(a, b):
 
 
 def quick_two_sum(a, b):
-    """Error-free sum assuming |a| >= |b| (Dekker fast2sum)."""
+    """Error-free sum assuming |a| >= |b| (Dekker fast2sum).
+
+    ``b`` is materialized through a barrier first: callers pass unrounded
+    product-sum expressions (e.g. ``e + x1*c`` in :func:`mul_f32`), and XLA's
+    FMA contraction can otherwise evaluate that expression *differently* in
+    the sum path ``a + b`` vs the residual path ``b - (s - a)`` — the two
+    uses must see bit-identical values or the fast2sum invariant s + e == a+b
+    breaks (measured on XLA:CPU: scaled-mode rel-L2 degraded 1e-15 → 5e-8).
+    """
+    b = _opaque(b)
     s = _opaque(a + b)
     e = b - (s - a)
     return s, e

@@ -134,6 +134,57 @@ def test_dd_jit_parity():
     assert np.linalg.norm(got - want) / np.linalg.norm(want) < GATE
 
 
+def test_mul_f32_jit_inexact_constant():
+    """Regression: XLA:CPU fma-contraction must not break the scale EFT.
+
+    jax 0.9 XLA:CPU strips optimization_barrier before codegen and contracts
+    ``p + e`` into ``fma(x, c, e)``, so the sum and residual paths of fast2sum
+    saw different product roundings — scaled modes (1/96, 1/sqrt(n), ...)
+    degraded to ~5e-8. ``_opaque`` now uses lax.reduce_precision, which
+    survives to codegen. Eager numpy was always exact; this pins the jit path.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(RNG_SEED)
+    a = rng.standard_normal(256)
+    xh, xl = dd.from_f64(a)
+    for c in (1.0 / 96.0, 1.0 / np.sqrt(192.0), 1.0 / 3.0):
+        sh, sl = dd.const(c)
+        jh, jl = jax.jit(lambda h, l: dd.mul_f32((h, l), sh))(
+            jnp.asarray(xh), jnp.asarray(xl)
+        )
+        got = np.asarray(jh, np.float64) + np.asarray(jl, np.float64)
+        want = (xh.astype(np.float64) + xl.astype(np.float64)) * sh
+        rel = np.max(np.abs(got - want) / np.abs(want))
+        assert rel < 1e-13, f"c={c}: rel={rel:.2e}"
+
+
+def test_dd_jit_scaled_modes():
+    """jit parity for modes with inexact scale constants (regression twin)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(RNG_SEED)
+    n = 96
+    plan = DdFftPlan(n)
+    x = _rand(n, rng)
+    rh, rl = dd.from_f64(x.real)
+    ih, il = dd.from_f64(x.imag)
+    for mode in (Transform.IFFT, Transform.SQRT_SCALED_FFT):
+        outs = plan.transform_planar_dd(
+            jnp.asarray(rh), jnp.asarray(rl), jnp.asarray(ih), jnp.asarray(il),
+            mode,
+        )
+        got = (
+            np.asarray(outs[0], np.float64) + np.asarray(outs[1], np.float64)
+        ) + 1j * (
+            np.asarray(outs[2], np.float64) + np.asarray(outs[3], np.float64)
+        )
+        want = oracle_transform(x, mode)
+        rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+        assert rel < GATE, f"mode={mode.name}: rel={rel:.2e}"
+
+
 def test_planner_dd_backend():
     plan = ft.create_fft(48, np.complex128, backend="dd", cache=False)
     assert isinstance(plan, DdFftPlan)
