@@ -32,6 +32,7 @@ from fourier_tpu.plan.serialize import load_plan, plan_to_bytes, save_plan
 from fourier_tpu.plan.summary import describe, summarize
 from fourier_tpu.ndim import NdFftPlan, fft2, fftn, ifft2, ifftn
 from fourier_tpu.rfft import RfftPlan, irfft, rfft, rfftfreq
+from fourier_tpu.signal import fftconvolve, next_fast_len
 from fourier_tpu.utils.helpers import fftfreq, fftshift, ifftshift
 from fourier_tpu.transform import Transform
 
@@ -92,10 +93,12 @@ __all__ = [
     "describe",
     "fft",
     "fft2",
+    "fftconvolve",
     "fftfreq",
     "fftshift",
     "fft_planar",
     "fftn",
+    "next_fast_len",
     "ifft",
     "ifft2",
     "ifft_planar",

@@ -156,6 +156,28 @@ class NdFftPlan:
     def ifft_planar(self, re, im):
         return self.transform_planar(re, im, Transform.IFFT)
 
+    # -- pytree --------------------------------------------------------------
+
+    def tree_flatten(self):
+        return (self.plans,), (self.shape, self.dtype.name)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        obj.shape, dtype_name = aux
+        obj.dtype = np.dtype(dtype_name)
+        (obj.plans,) = children
+        obj.is_dd = any(not hasattr(p, "_apply") for p in obj.plans)
+        obj.size = int(np.prod(obj.shape))
+        return obj
+
+
+import jax
+
+jax.tree_util.register_pytree_node(
+    NdFftPlan, lambda p: p.tree_flatten(), NdFftPlan.tree_unflatten
+)
+
 
 from collections import OrderedDict
 

@@ -40,6 +40,7 @@ def _plan_registry():
     from fourier_tpu.plan.vpu import VpuFftPlan
     from fourier_tpu.precision.dd_plan import DdFftPlan
     from fourier_tpu.precision.vpu_dd_plan import VpuDdFftPlan
+    from fourier_tpu.rfft import RfftPlan
 
     return {
         cls.__name__: cls
@@ -53,6 +54,7 @@ def _plan_registry():
             VpuDdFftPlan,
             FourStepPlan,
             Fft2dPlan,
+            RfftPlan,
         )
     }
 

@@ -19,6 +19,11 @@ zero imaginary plane (correct for any n, ~2x the even-path work).
 
 All unpack twiddles are f64 numpy at plan time (twiddle.rs:9-13 discipline);
 everything on-device is planar f32 (or f64 on an x64 host).
+
+c128 without device f64 (TPU, non-x64 CPU) runs the same split/unpack over
+double-word planes: a real f64 plane is (hi, lo) f32, the inner c2c is the
+4-plane dd path (the fused VPU dd kernel on TPU), and the Hermitian unpack is
+ddcplx arithmetic with dd-split W tables. Meets the 1e-12 c128 gate.
 """
 
 from __future__ import annotations
@@ -54,24 +59,24 @@ class RfftPlan:
         if self.even:
             self.m = self.n // 2
             self.inner = create_fft(self.m, self.dtype, backend=backend)
-            if not hasattr(self.inner, "_apply"):
-                raise NotImplementedError(
-                    "rfft needs a 2-plane inner plan; the 4-plane dd c128 "
-                    "path is not wired here (use complex128 on an x64 host)"
-                )
+            self.dd = not hasattr(self.inner, "_apply")  # 4-plane dd inner
             k = np.arange(self.m, dtype=np.float64)
             theta = 2.0 * np.pi * k / float(self.n)
-            rt = self.real_dtype
-            self.w_re = jnp.asarray(np.cos(theta).astype(rt))
-            self.w_im = jnp.asarray((-np.sin(theta)).astype(rt))
+            if self.dd:
+                from fourier_tpu.precision import ddreal
+
+                wr = ddreal.from_f64(np.cos(theta))
+                wi = ddreal.from_f64(-np.sin(theta))
+                self.w_re = tuple(jnp.asarray(p) for p in wr)
+                self.w_im = tuple(jnp.asarray(p) for p in wi)
+            else:
+                rt = self.real_dtype
+                self.w_re = jnp.asarray(np.cos(theta).astype(rt))
+                self.w_im = jnp.asarray((-np.sin(theta)).astype(rt))
         else:
             self.m = None
             self.inner = create_fft(self.n, self.dtype, backend=backend)
-            if not hasattr(self.inner, "_apply"):
-                raise NotImplementedError(
-                    "rfft needs a 2-plane inner plan; the 4-plane dd c128 "
-                    "path is not wired here (use complex128 on an x64 host)"
-                )
+            self.dd = not hasattr(self.inner, "_apply")
             self.w_re = self.w_im = None
 
     @property
@@ -147,10 +152,100 @@ class RfftPlan:
         xr, _ = self.inner._apply(fr, fi, Transform.IFFT)
         return xr
 
+    # -- dd (double-word c128) twins ----------------------------------------
+    #
+    # Same algorithm over ((hi, lo)) planes. Halving is exact per plane (a
+    # power-of-two scale needs no EFT); sums/products go through ddcplx.
+
+    @staticmethod
+    def _dd_half(x):
+        return 0.5 * x[0], 0.5 * x[1]
+
+    @classmethod
+    def _dd_mirror(cls, z):
+        """conj(Z[(m-k) mod m]) as a dd-complex value."""
+        rev = lambda p: jnp.concatenate([p[..., :1], p[..., :0:-1]], axis=-1)
+        (rh, rl), (ih, il) = z
+        return (rev(rh), rev(rl)), (-rev(ih), -rev(il))
+
+    def _w_dd(self, conj: bool):
+        wi = self.w_im if not conj else tuple(-p for p in self.w_im)
+        return (self.w_re, wi)
+
+    def _rfft_even_dd(self, xh, xl):
+        from fourier_tpu.precision import ddcplx
+
+        pair = lambda p: p.reshape(*p.shape[:-1], self.m, 2)
+        ph, pl = pair(xh), pair(xl)
+        z = self.inner._apply_dd(
+            ((ph[..., 0], pl[..., 0]), (ph[..., 1], pl[..., 1])),
+            Transform.FFT,
+        )
+        c = self._dd_mirror(z)
+        e = tuple(self._dd_half(p) for p in ddcplx.add(z, c))
+        od = ddcplx.sub(z, c)  # Z - conj(Z_rev)
+        o = (self._dd_half(od[1]), self._dd_half(ddcplx.neg(od)[0]))  # -i/2*od
+        wo = ddcplx.mul(self._w_dd(conj=False), o)
+        x = ddcplx.add(e, wo)
+        # X[m] = E[0] - O[0]
+        first = lambda v: tuple(tuple(p[..., :1] for p in pl_) for pl_ in v)
+        last = ddcplx.sub(first(e), first(o))
+        cat = lambda a, b: jnp.concatenate([a, b], axis=-1)
+        out = tuple(
+            tuple(cat(x[i][j], last[i][j]) for j in range(2)) for i in range(2)
+        )
+        return out[0][0], out[0][1], out[1][0], out[1][1]
+
+    def _irfft_even_dd(self, reh, rel, imh, iml):
+        from fourier_tpu.precision import ddcplx
+
+        # Real DC / Nyquist bins (numpy.fft.irfft semantics) on both planes.
+        imh = imh.at[..., 0].set(0).at[..., -1].set(0)
+        iml = iml.at[..., 0].set(0).at[..., -1].set(0)
+        head = lambda p: p[..., : self.m]
+        x = ((head(reh), head(rel)), (head(imh), head(iml)))
+        mrev = lambda p: p[..., self.m:0:-1]
+        c = ((mrev(reh), mrev(rel)), (-mrev(imh), -mrev(iml)))
+        e = tuple(self._dd_half(p) for p in ddcplx.add(x, c))
+        wo = tuple(self._dd_half(p) for p in ddcplx.sub(x, c))
+        o = ddcplx.mul(self._w_dd(conj=True), wo)
+        # Z = E + i*O
+        from fourier_tpu.precision import ddreal
+
+        z = (ddreal.sub(e[0], o[1]), ddreal.add(e[1], o[0]))
+        (zrh, zrl), (zih, zil) = self.inner._apply_dd(z, Transform.IFFT)
+        inter = lambda a, b: jnp.stack([a, b], axis=-1).reshape(
+            *a.shape[:-1], self.n
+        )
+        return inter(zrh, zih), inter(zrl, zil)
+
+    def _rfft_odd_dd(self, xh, xl):
+        zero = jnp.zeros_like(xh)
+        out = self.inner._apply_dd(
+            ((xh, xl), (zero, zero)), Transform.FFT
+        )
+        k = self.out_len
+        (rh, rl), (ih, il) = out
+        return rh[..., :k], rl[..., :k], ih[..., :k], il[..., :k]
+
+    def _irfft_odd_dd(self, reh, rel, imh, iml):
+        tail = lambda p: p[..., -1:0:-1]
+        cat = lambda a, b: jnp.concatenate([a, b], axis=-1)
+        value = (
+            (cat(reh, tail(reh)), cat(rel, tail(rel))),
+            (cat(imh, -tail(imh)), cat(iml, -tail(iml))),
+        )
+        (oh, ol), _ = self.inner._apply_dd(value, Transform.IFFT)
+        return oh, ol
+
     # -- planar API ---------------------------------------------------------
 
     def rfft_planar(self, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """One-sided spectrum planes (..., n//2+1) of a real plane (..., n)."""
+        if self.dd:
+            raise TypeError(
+                "this is a dd (double-word c128) plan: use rfft_planar_dd"
+            )
         x = jnp.asarray(x)
         if x.shape[-1] != self.n:
             raise ValueError(f"last axis {x.shape[-1]} != plan size {self.n}")
@@ -158,8 +253,29 @@ class RfftPlan:
             x = x.astype(self.real_dtype)
         return _execute_rfft(self, x)
 
+    def rfft_planar_dd(self, xh, xl):
+        """dd twin: (hi, lo) f32 planes (..., n) -> 4 one-sided planes."""
+        xh, xl = jnp.asarray(xh), jnp.asarray(xl)
+        if xh.shape[-1] != self.n:
+            raise ValueError(f"last axis {xh.shape[-1]} != plan size {self.n}")
+        return _execute_rfft_dd(self, xh, xl)
+
+    def irfft_planar_dd(self, reh, rel, imh, iml):
+        """dd twin: 4 one-sided planes (..., n//2+1) -> (hi, lo) real planes."""
+        planes = [jnp.asarray(p) for p in (reh, rel, imh, iml)]
+        if planes[0].shape[-1] != self.out_len:
+            raise ValueError(
+                f"last axis {planes[0].shape[-1]} != one-sided length "
+                f"{self.out_len}"
+            )
+        return _execute_irfft_dd(self, *planes)
+
     def irfft_planar(self, re, im) -> jnp.ndarray:
         """Real signal (..., n) from one-sided spectrum planes (..., n//2+1)."""
+        if self.dd:
+            raise TypeError(
+                "this is a dd (double-word c128) plan: use irfft_planar_dd"
+            )
         re = jnp.asarray(re)
         im = jnp.asarray(im)
         if re.shape[-1] != self.out_len:
@@ -177,17 +293,32 @@ class RfftPlan:
 
     def rfft(self, x) -> np.ndarray:
         x = np.asarray(x)
+        if self.dd:
+            from fourier_tpu.precision import ddreal
+
+            xh, xl = ddreal.from_f64(x.astype(np.float64))
+            rh, rl, ih, il = self.rfft_planar_dd(xh, xl)
+            f64 = lambda p: np.asarray(p, np.float64)
+            return (f64(rh) + f64(rl)) + 1j * (f64(ih) + f64(il))
         re, im = self.rfft_planar(x.astype(self.real_dtype))
         return (np.asarray(re) + 1j * np.asarray(im)).astype(self.dtype)
 
     def irfft(self, x) -> np.ndarray:
         x = np.asarray(x).astype(self.dtype)
+        if self.dd:
+            from fourier_tpu.precision import ddreal
+
+            rh, rl = ddreal.from_f64(np.real(x))
+            ih, il = ddreal.from_f64(np.imag(x))
+            oh, ol = self.irfft_planar_dd(rh, rl, ih, il)
+            return np.asarray(oh, np.float64) + np.asarray(ol, np.float64)
         out = self.irfft_planar(np.real(x), np.imag(x))
         return np.asarray(out)
 
     def __repr__(self):
         kind = "even-split" if self.even else "odd-fallback"
-        return f"RfftPlan(n={self.n}, {kind}, dtype={self.dtype.name})"
+        dd = ", dd" if self.dd else ""
+        return f"RfftPlan(n={self.n}, {kind}, dtype={self.dtype.name}{dd})"
 
     # -- pytree --------------------------------------------------------------
 
@@ -202,6 +333,7 @@ class RfftPlan:
         obj.inner, obj.w_re, obj.w_im = children
         obj.even = obj.n % 2 == 0 and obj.n >= 2
         obj.m = obj.n // 2 if obj.even else None
+        obj.dd = not hasattr(obj.inner, "_apply")
         return obj
 
 
@@ -218,6 +350,18 @@ def _execute_rfft(plan, x):
 @jax.jit
 def _execute_irfft(plan, re, im):
     return plan._irfft_even(re, im) if plan.even else plan._irfft_odd(re, im)
+
+
+@jax.jit
+def _execute_rfft_dd(plan, xh, xl):
+    fn = plan._rfft_even_dd if plan.even else plan._rfft_odd_dd
+    return fn(xh, xl)
+
+
+@jax.jit
+def _execute_irfft_dd(plan, reh, rel, imh, iml):
+    fn = plan._irfft_even_dd if plan.even else plan._irfft_odd_dd
+    return fn(reh, rel, imh, iml)
 
 
 _RFFT_CACHE: OrderedDict = OrderedDict()

@@ -60,6 +60,53 @@ def test_rfft_c128_x64():
     np.testing.assert_allclose(back, x, atol=1e-12)
 
 
+@pytest.mark.parametrize("n", [8, 64, 96, 100, 7, 33])
+def test_rfft_c128_dd(n):
+    """The dd (double-word) c128 path: what TPU / non-x64 backends run."""
+    rng = np.random.default_rng(RNG_SEED + n)
+    plan = RfftPlan(n, np.complex128, backend="dd")
+    assert plan.dd
+    x = rng.standard_normal((2, n))
+    got = plan.rfft(x)
+    want = np.fft.rfft(x, axis=-1)
+    assert np.linalg.norm(got - want) < 1e-12 * np.linalg.norm(want)
+    back = plan.irfft(got)
+    np.testing.assert_allclose(back, x, atol=1e-12)
+
+
+def test_rfft_dd_planar_api_guards():
+    plan = RfftPlan(16, np.complex128, backend="dd")
+    with pytest.raises(TypeError):
+        plan.rfft_planar(np.zeros(16, np.float32))
+    with pytest.raises(TypeError):
+        plan.irfft_planar(np.zeros(9, np.float32), np.zeros(9, np.float32))
+    with pytest.raises(ValueError):
+        plan.rfft_planar_dd(np.zeros(15, np.float32), np.zeros(15, np.float32))
+
+
+def test_rfft_dd_planar_jit():
+    import jax
+    import jax.numpy as jnp
+
+    from fourier_tpu.precision import ddreal as dd
+
+    rng = np.random.default_rng(RNG_SEED)
+    n = 64
+    plan = RfftPlan(n, np.complex128, backend="dd")
+    x = rng.standard_normal((4, n))
+    xh, xl = dd.from_f64(x)
+
+    @jax.jit
+    def run(p, h, l):
+        return p.rfft_planar_dd(h, l)
+
+    rh, rl, ih, il = run(plan, jnp.asarray(xh), jnp.asarray(xl))
+    f64 = lambda p: np.asarray(p, np.float64)
+    got = (f64(rh) + f64(rl)) + 1j * (f64(ih) + f64(il))
+    want = np.fft.rfft(x, axis=-1)
+    assert np.linalg.norm(got - want) < 1e-12 * np.linalg.norm(want)
+
+
 def test_rfft_planar_jit_and_pytree():
     import jax
 
@@ -76,6 +123,24 @@ def test_rfft_planar_jit_and_pytree():
     want = np.fft.rfft(x, axis=-1)
     got = np.asarray(re) + 1j * np.asarray(im)
     assert np.linalg.norm(got - want) < 1e-5 * np.linalg.norm(want)
+
+
+@pytest.mark.parametrize(
+    "kwargs", [{}, {"dtype": np.complex128, "backend": "dd"}]
+)
+def test_rfft_serialize_roundtrip(tmp_path, kwargs):
+    from fourier_tpu.plan.serialize import load_plan, save_plan
+
+    rng = np.random.default_rng(RNG_SEED)
+    plan = RfftPlan(64, **kwargs)
+    path = str(tmp_path / "rfft.npz")
+    save_plan(plan, path)
+    loaded = load_plan(path)
+    assert isinstance(loaded, RfftPlan)
+    assert (loaded.n, loaded.dtype, loaded.dd) == (plan.n, plan.dtype, plan.dd)
+    rt = np.float64 if plan.dd else np.float32
+    x = rng.standard_normal((2, 64)).astype(rt)
+    np.testing.assert_array_equal(plan.rfft(x), loaded.rfft(x))
 
 
 def test_rfftfreq():
