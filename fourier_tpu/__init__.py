@@ -31,6 +31,7 @@ from fourier_tpu.plan import (
 from fourier_tpu.plan.serialize import load_plan, plan_to_bytes, save_plan
 from fourier_tpu.plan.summary import describe, summarize
 from fourier_tpu.ndim import NdFftPlan, fft2, fftn, ifft2, ifftn
+from fourier_tpu.dctdst import dct, dst, idct, idst
 from fourier_tpu.rfft import RfftPlan, irfft, rfft, rfftfreq
 from fourier_tpu.signal import fftconvolve, next_fast_len
 from fourier_tpu.utils.helpers import fftfreq, fftshift, ifftshift
@@ -90,7 +91,9 @@ __all__ = [
     "create_fft",
     "create_fft_f32",
     "create_fft_f64",
+    "dct",
     "describe",
+    "dst",
     "fft",
     "fft2",
     "fftconvolve",
@@ -99,6 +102,8 @@ __all__ = [
     "fft_planar",
     "fftn",
     "next_fast_len",
+    "idct",
+    "idst",
     "ifft",
     "ifft2",
     "ifft_planar",
