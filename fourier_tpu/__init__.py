@@ -32,7 +32,18 @@ from fourier_tpu.plan.serialize import load_plan, plan_to_bytes, save_plan
 from fourier_tpu.plan.summary import describe, summarize
 from fourier_tpu.ndim import NdFftPlan, fft2, fftn, ifft2, ifftn
 from fourier_tpu.dctdst import dct, dst, idct, idst
-from fourier_tpu.rfft import RfftPlan, irfft, rfft, rfftfreq
+from fourier_tpu.rfft import (
+    RfftPlan,
+    hfft,
+    ihfft,
+    irfft,
+    irfft2,
+    irfftn,
+    rfft,
+    rfft2,
+    rfftfreq,
+    rfftn,
+)
 from fourier_tpu.signal import fftconvolve, next_fast_len
 from fourier_tpu.utils.helpers import fftfreq, fftshift, ifftshift
 from fourier_tpu.transform import Transform
@@ -101,6 +112,8 @@ __all__ = [
     "fftshift",
     "fft_planar",
     "fftn",
+    "hfft",
+    "ihfft",
     "next_fast_len",
     "idct",
     "idst",
@@ -110,10 +123,14 @@ __all__ = [
     "ifftn",
     "ifftshift",
     "irfft",
+    "irfft2",
+    "irfftn",
     "load_plan",
     "plan_to_bytes",
     "rfft",
+    "rfft2",
     "rfftfreq",
+    "rfftn",
     "RfftPlan",
     "save_plan",
     "summarize",

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import functools
 from collections import OrderedDict
-from typing import Optional, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -404,3 +404,104 @@ def irfft(x, n: Optional[int] = None, dtype=np.complex64) -> np.ndarray:
 def rfftfreq(n: int, d: float = 1.0) -> np.ndarray:
     """Sample frequencies for :func:`rfft` (numpy.fft.rfftfreq)."""
     return np.arange(n // 2 + 1, dtype=np.float64) / (float(n) * float(d))
+
+
+# -- N-D real transforms (numpy.fft.rfftn family) ----------------------------
+
+
+def _c2c_over_leading(y: np.ndarray, ndim: int, dtype, forward: bool):
+    """c2c transform over the `ndim` axes preceding the last one."""
+    from fourier_tpu.ndim import _nd_plan
+    from fourier_tpu.transform import Transform
+
+    if ndim == 0:
+        return y
+    # Those axes are trailing once the (already-transformed) last axis is
+    # rotated to the front.
+    yt = np.moveaxis(y, -1, 0)
+    plan = _nd_plan(yt.shape[-ndim:], dtype)
+    mode = Transform.FFT if forward else Transform.IFFT
+    yt = plan.transform(yt, mode)
+    return np.moveaxis(yt, 0, -1)
+
+
+def rfftn(x, ndim: Optional[int] = None, dtype=np.complex64) -> np.ndarray:
+    """Real-input N-D FFT over the trailing `ndim` axes (numpy.fft.rfftn):
+    one-sided along the last axis, full along the others."""
+    x = np.asarray(x)
+    ndim = x.ndim if ndim is None else ndim
+    if not 1 <= ndim <= x.ndim:
+        raise ValueError(f"ndim={ndim} out of range for rank-{x.ndim} input")
+    y = _rfft_plan(x.shape[-1], dtype).rfft(x)
+    return _c2c_over_leading(y, ndim - 1, dtype, forward=True)
+
+
+def irfftn(x, shape: Optional[Sequence[int]] = None, ndim: Optional[int] = None,
+           dtype=np.complex64) -> np.ndarray:
+    """Inverse of :func:`rfftn` (numpy.fft.irfftn). ``shape`` gives the output
+    sizes of the transformed axes (its length sets ``ndim``); the default last
+    axis is the even size 2*(bins-1)."""
+    x = np.asarray(x)
+    if shape is not None:
+        ndim = len(shape)
+        n_last = int(shape[-1])
+    else:
+        ndim = (x.ndim if ndim is None else ndim)
+        n_last = 2 * (x.shape[-1] - 1)
+    if not 1 <= ndim <= x.ndim:
+        raise ValueError(f"ndim={ndim} out of range for rank-{x.ndim} input")
+    if shape is not None and tuple(shape[:-1]) != x.shape[x.ndim - ndim:-1]:
+        raise ValueError(
+            f"shape {tuple(shape)} inconsistent with input axes "
+            f"{x.shape[x.ndim - ndim:]} (only the last axis may differ)"
+        )
+    y = _c2c_over_leading(x, ndim - 1, dtype, forward=False)
+    plan = _rfft_plan(n_last, dtype)
+    if y.shape[-1] != plan.out_len:
+        raise ValueError(
+            f"spectrum length {y.shape[-1]} inconsistent with last-axis size "
+            f"{n_last} (need {plan.out_len})"
+        )
+    return plan.irfft(y)
+
+
+def rfft2(x, dtype=np.complex64) -> np.ndarray:
+    """2-D real-input FFT over the last two axes (numpy.fft.rfft2)."""
+    return rfftn(x, 2, dtype)
+
+
+def irfft2(x, shape: Optional[Sequence[int]] = None,
+           dtype=np.complex64) -> np.ndarray:
+    """Inverse of :func:`rfft2` (numpy.fft.irfft2)."""
+    if shape is not None and len(shape) != 2:
+        raise ValueError("irfft2 shape must have length 2")
+    return irfftn(x, shape=shape, ndim=2, dtype=dtype)
+
+
+# -- Hermitian-input transforms (numpy.fft.hfft / ihfft) ---------------------
+
+
+def hfft(x, n: Optional[int] = None, dtype=np.complex64) -> np.ndarray:
+    """FFT of Hermitian-symmetric input -> real spectrum (numpy.fft.hfft).
+
+    ``hfft(a, n) == irfft(conj(a), n) * n``: the roles of time and frequency
+    domains swap relative to rfft.
+    """
+    x = np.asarray(x)
+    if n is None:
+        n = 2 * (x.shape[-1] - 1)
+    plan = _rfft_plan(n, dtype)
+    if x.shape[-1] != plan.out_len:
+        raise ValueError(
+            f"input length {x.shape[-1]} inconsistent with n={n} "
+            f"(need {plan.out_len})"
+        )
+    return plan.irfft(np.conj(x)) * n
+
+
+def ihfft(x, dtype=np.complex64) -> np.ndarray:
+    """Inverse of :func:`hfft` (numpy.fft.ihfft): real input -> one-sided
+    Hermitian spectrum, ``conj(rfft(x)) / n``."""
+    x = np.asarray(x)
+    n = x.shape[-1]
+    return np.conj(_rfft_plan(n, dtype).rfft(x)) / n

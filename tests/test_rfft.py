@@ -125,6 +125,69 @@ def test_rfft_planar_jit_and_pytree():
     assert np.linalg.norm(got - want) < 1e-5 * np.linalg.norm(want)
 
 
+def test_rfftn_vs_numpy():
+    from fourier_tpu.rfft import irfft2, irfftn, rfft2, rfftn
+
+    rng = np.random.default_rng(RNG_SEED)
+    rel = lambda g, w: np.linalg.norm(np.asarray(g) - w) / np.linalg.norm(w)
+    x = rng.standard_normal((5, 12, 16)).astype(np.float32)
+    assert rel(rfft2(x), np.fft.rfft2(x)) < 1e-5
+    assert rel(rfftn(x), np.fft.rfftn(x)) < 1e-5
+    assert rel(rfftn(x, 2), np.fft.rfftn(x, axes=(-2, -1))) < 1e-5
+    y = np.fft.rfftn(x.astype(np.float64)).astype(np.complex64)
+    assert rel(irfftn(y), np.fft.irfftn(y)) < 1e-4
+    assert irfftn(y, shape=(5, 12, 16)).shape == (5, 12, 16)
+    # odd last axis needs the explicit shape
+    xo = rng.standard_normal((4, 9))
+    yo = np.fft.rfft2(xo)
+    assert rel(
+        irfft2(yo.astype(np.complex64), shape=(4, 9)),
+        np.fft.irfft2(yo, s=(4, 9)),
+    ) < 1e-4
+
+
+def test_rfftn_c128():
+    from fourier_tpu.rfft import irfftn, rfftn
+
+    rng = np.random.default_rng(RNG_SEED)
+    x = rng.standard_normal((6, 8))
+    got = rfftn(x, dtype=np.complex128)
+    want = np.fft.rfftn(x)
+    assert np.linalg.norm(got - want) < 1e-12 * np.linalg.norm(want)
+    back = irfftn(got, shape=(6, 8), dtype=np.complex128)
+    np.testing.assert_allclose(back, x, atol=1e-12)
+
+
+def test_hfft_ihfft_vs_numpy():
+    from fourier_tpu.rfft import hfft, ihfft
+
+    rng = np.random.default_rng(RNG_SEED)
+    rel = lambda g, w: np.linalg.norm(np.asarray(g) - w) / np.linalg.norm(w)
+    a = (
+        rng.standard_normal((2, 17)) + 1j * rng.standard_normal((2, 17))
+    ).astype(np.complex64)
+    assert rel(hfft(a), np.fft.hfft(a)) < 1e-4
+    assert hfft(a, n=33).shape == (2, 33)
+    x = rng.standard_normal((2, 32)).astype(np.float32)
+    assert rel(ihfft(x), np.fft.ihfft(x)) < 1e-5
+    # roundtrip on a consistent (truly Hermitian-derived) spectrum: the
+    # imaginary parts of the DC/Nyquist bins of a random input are not
+    # representable and are dropped, exactly as numpy.fft does.
+    spec = ihfft(x)
+    assert rel(hfft(spec), x) < 1e-4
+    with pytest.raises(ValueError):
+        hfft(a, n=100)
+
+
+def test_rfftn_validation():
+    from fourier_tpu.rfft import irfftn, rfftn
+
+    with pytest.raises(ValueError):
+        rfftn(np.zeros((2, 3), np.float32), ndim=3)
+    with pytest.raises(ValueError):
+        irfftn(np.zeros((2, 5), np.complex64), shape=(3, 8))
+
+
 @pytest.mark.parametrize(
     "kwargs", [{}, {"dtype": np.complex128, "backend": "dd"}]
 )
