@@ -159,13 +159,19 @@ class _DdOps:
 
 
 def radix_schedule_dd(n: int) -> Optional[Sequence[int]]:
-    """Stage radices for the dd kernel: n = 2^a*3^b, 8 | n, 64 <= n <= 8192.
+    """Stage radices for the dd kernel: n = 2^a*3^b, 8 | n, 64 <= n <= 4096.
 
     First stage radix-8 (keeps every later interleave stride 8-aligned),
     greedy 8s, one {4, 2} remainder, radix-3 stages last. No 64/9 fusions —
     dd is compute-bound and their register pressure quadruples.
+
+    Upper bound 4096: four f32 planes and the per-stage interleave copies put
+    the fused kernel at ~80 MiB of VMEM at n=4096/cb=128 (fits in the 128 MiB
+    chip budget); n=8192 measures 162 MiB and cannot compile, and cb=64 is
+    not an option — Mosaic requires lane blocks of 128 (or the whole axis).
+    Larger 2^a*3^b sizes run the XLA dd Stockham instead.
     """
-    if n < 64 or n > 8192:
+    if n < 64 or n > 4096:
         return None
     pow2 = n
     threes = 0

@@ -121,9 +121,9 @@ def _create_dd(size: int):
     """Best dd (c128 double-word) plan for this backend.
 
     On TPU: the fused all-stages-in-VMEM dd VPU kernel where its size
-    restriction allows (2^a*3^b, 8|n, 64..8192), and Bluestein with a fused
-    power-of-two inner for everything else. Off-TPU: the XLA dd plan (the
-    differential oracle; also the exact-IEEE eager-numpy path).
+    restriction allows (2^a*3^b, 8|n, 64..4096), and Bluestein with a fused
+    power-of-two inner where the inner size allows. Off-TPU: the XLA dd plan
+    (the differential oracle; also the exact-IEEE eager-numpy path).
     """
     import jax
 

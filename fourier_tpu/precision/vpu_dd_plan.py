@@ -27,7 +27,7 @@ from fourier_tpu.transform import Transform
 
 @jax.tree_util.register_pytree_node_class
 class VpuDdFftPlan:
-    """Fused-VPU dd plan (n = 2^a*3^b, 8|n, 64..8192), batch-minor c128."""
+    """Fused-VPU dd plan (n = 2^a*3^b, 8|n, 64..4096), batch-minor c128."""
 
     dtype = np.dtype(np.complex128)
     kind = "stockham-vpu-dd"
@@ -49,8 +49,11 @@ class VpuDdFftPlan:
         if kern.radix_schedule_dd(size) is None:
             return None
         if cb is None:
-            # 4 f32 planes: halve the lane block at n=8192 to stay in VMEM.
-            cb = 128 if size <= 4096 else 64
+            # 128 lanes always: Mosaic requires the lane-dim block be a
+            # multiple of 128 (or the whole array), so cb=64 breaks for any
+            # batch > 64. The VMEM budget instead caps the SIZE axis — see
+            # radix_schedule_dd (n <= 4096 fits; n=8192 measures 162 MiB).
+            cb = 128
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         if vmem_limit_bytes is None and not interpret:

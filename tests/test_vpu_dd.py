@@ -44,7 +44,7 @@ def _from_planes(rh, rl, ih, il):
 
 
 def test_schedule_products():
-    for n in (64, 96, 128, 192, 384, 512, 1152, 1536, 4096, 6144, 8192):
+    for n in (64, 96, 128, 192, 384, 512, 1152, 1536, 3072, 4096):
         sched = kern.radix_schedule_dd(n)
         assert sched is not None, n
         assert int(np.prod(sched)) == n
@@ -52,9 +52,9 @@ def test_schedule_products():
         assert all(r in (2, 3, 4, 8) for r in sched)
 
 
-@pytest.mark.parametrize("n", [32, 48, 81, 243, 100, 16384, 12])
+@pytest.mark.parametrize("n", [32, 48, 81, 243, 100, 6144, 8192, 16384, 12])
 def test_schedule_rejects(n):
-    # <64, >8192, pow2 part < 8, or not 2^a*3^b.
+    # <64, >4096 (VMEM: see radix_schedule_dd), pow2 part < 8, not 2^a*3^b.
     assert kern.radix_schedule_dd(n) is None
 
 
