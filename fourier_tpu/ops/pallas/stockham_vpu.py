@@ -11,7 +11,7 @@ zero matmuls. The whole transform runs input-once/output-once against HBM with
 every intermediate stage VMEM-resident (the reference keeps its ping-pong
 buffers in L1/registers the same way, ``autosort/mod.rs:337-378``).
 
-Restriction: n = 2^a * 3^b with 8 | n and 64 <= n <= 8192 (mixed
+Restriction: n = 2^a * 3^b with 8 | n and 64 <= n <= 16384 (mixed
 radix-64/8/4/3/2 schedules with a leading pow2 stage keep every stage's
 interleave stride 8-aligned; see radix_schedule); other sizes use the MXU/XLA
 paths. Batch-minor is the framework's native
@@ -41,7 +41,7 @@ from fourier_tpu.twiddle import stage_twiddles
 
 
 def radix_schedule(n: int) -> Optional[Sequence[int]]:
-    """Stage radices for n = 2^a * 3^b with 8 | n, 64 <= n <= 8192.
+    """Stage radices for n = 2^a * 3^b with 8 | n, 64 <= n <= 16384.
 
     Greedy radix-64 stages (the 64-point butterfly's internal 8x8 exchange is
     pure register-level value shuffling with constant twiddles, halving the
@@ -51,9 +51,11 @@ def radix_schedule(n: int) -> Optional[Sequence[int]]:
     (tile-aligned) — hence the 8 | n restriction (pure 3^b sizes stay on the
     MXU family) — and first-stage slices must be >= 8 sublane rows where the
     divisor structure allows. The upper bound keeps (n, 128) f32 blocks
-    within VMEM.
+    within VMEM: n=16384 measures ~80 MiB scoped (needs the 110 MiB limit,
+    see VpuFftPlan.create; 670 GF on-chip vs 170 GF for the 128x128 MXU
+    split it replaces); n=32768 would double that past the 128 MiB chip.
     """
-    if n < 64 or n > 8192:
+    if n < 64 or n > 16384:
         return None
     pow2 = n
     threes = 0

@@ -4,7 +4,7 @@ Mirrors ``fourier/src/lib.rs:31-60`` — pick the best plan family per size —
 widened with a TPU-native backend axis:
 
 * ``vpu``      — fused all-stages-in-VMEM Pallas VPU kernel (powers of two,
-                 64..8192); other sizes compose through four-step / Bluestein
+                 64..16384); other sizes compose through four-step / Bluestein
                  with vpu-first sub-plans, falling back to ``mxu``. The
                  fastest path on this chip (~3x mxu even batch-major).
 * ``mxu``      — fused Pallas MXU kernels (ops/pallas/bailey.py): any
@@ -73,7 +73,7 @@ def _create_mxu_composite(size: int, dtype: np.dtype, *, vpu_first: bool = False
     """Best fused-kernel plan for a composite size, or None (primes etc.).
 
     With ``vpu_first`` the fused VPU kernel is preferred wherever its size
-    restriction allows (powers of two 64..8192), including recursively for
+    restriction allows (2^a*3^b, 8|n, 64..16384), including recursively for
     four-step sub-plans. Otherwise/next: MxuFftPlan directly for n = n1*n2
     (n1, n2 <= 128); larger composites recurse through single-chip four-step
     composition (n = p*q with p, q <= 16384 each themselves fused/four-step
@@ -165,7 +165,7 @@ def create_fft(
     elif resolved == "dd":
         plan = _create_dd(size)
     elif resolved == "vpu":
-        # Fused all-stages-in-VMEM kernel (powers of two 64..8192, batch-minor
+        # Fused all-stages-in-VMEM kernel (2^a*3^b, 8|n, 64..16384, batch-minor
         # native layout — the fastest path on this chip); other sizes compose
         # through four-step / Bluestein with vpu-first sub-plans, falling back
         # to the MXU family.

@@ -22,7 +22,7 @@ from fourier_tpu.transform import Transform
 
 @jax.tree_util.register_pytree_node_class
 class VpuFftPlan(FftPlan):
-    """Fused-VPU mixed radix-64/8/4/3/2 plan (n = 2^a*3^b, 8|n, 64..8192),
+    """Fused-VPU mixed radix-64/8/4/3/2 plan (n = 2^a*3^b, 8|n, 64..16384),
     batch-minor."""
 
     def __init__(self, size, dtype, fwd_tables, inv_tables, cb=128,
@@ -48,7 +48,10 @@ class VpuFftPlan(FftPlan):
         if vmem_limit_bytes is None and not interpret:
             # n=4096 blocks need ~2 MB x planes x buffering: beyond the 16 MB
             # default scoped limit but fine on this chip (verified at 64 MB).
-            vmem_limit_bytes = 64 * 1024 * 1024
+            # n > 8192 measures ~80 MiB scoped (verified on-chip at 110 MiB).
+            vmem_limit_bytes = (
+                64 * 1024 * 1024 if size <= 8192 else 110 * 1024 * 1024
+            )
         as_j = lambda tbl: tuple(
             (jnp.asarray(tr), jnp.asarray(ti)) for tr, ti in tbl
         )

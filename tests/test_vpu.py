@@ -34,6 +34,7 @@ def test_radix_schedule():
     assert radix_schedule(1024) == [64, 8, 2]
     assert radix_schedule(4096) == [64, 64]
     assert radix_schedule(8192) == [64, 64, 2]
+    assert radix_schedule(16384) == [64, 64, 4]
     # mixed 2^a * 3^b (8 | n): radix-3/9 stages come last
     assert radix_schedule(96) == [8, 4, 3]
     assert radix_schedule(192) == [8, 8, 3]
@@ -44,9 +45,9 @@ def test_radix_schedule():
     # pure 3^b and 2^a*3^b with fewer than three 2s stay off the VPU kernel
     # (first stage must be a pow2 radix >= 8; measured slower than MXU with a
     # radix-9 first stage at n=2187)
-    for n in (1, 8, 16, 32, 100, 4095, 16384, 243, 729, 2187, 12, 48):
+    for n in (1, 8, 16, 32, 100, 4095, 32768, 243, 729, 2187, 12, 48):
         assert radix_schedule(n) is None
-    for n in (64, 128, 256, 512, 1024, 2048, 4096, 8192,
+    for n in (64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384, 12288,
               72, 96, 192, 576, 1152, 1536, 1728, 3072, 4608, 6144):
         sched = radix_schedule(n)
         assert int(np.prod(sched)) == n
@@ -133,5 +134,5 @@ def test_planner_vpu_backend():
 def test_vpu_unsupported_sizes():
     assert VpuFftPlan.create(100) is None
     assert VpuFftPlan.create(32) is None
-    assert VpuFftPlan.create(16384) is None
+    assert VpuFftPlan.create(32768) is None
     assert VpuFftPlan.create(64, np.complex128) is None
