@@ -68,14 +68,27 @@ def transform(x, mode: Transform, dtype=None):
     return _plan_for(x.shape[-1], dtype).transform(x, mode)
 
 
-def fft(x, dtype=None):
-    """Forward FFT over the last axis (plans implicitly, cached per size)."""
-    return transform(x, Transform.FFT, dtype)
+def _fft_1d(x, n, norm, dtype, forward: bool):
+    from fourier_tpu.ndim import _crop_pad_axis, _norm_mode
+
+    x = _np.asarray(x)
+    if n is not None:
+        x = _crop_pad_axis(x, int(n), x.ndim - 1)
+    mode, fwd_scale = _norm_mode(norm, forward)
+    out = transform(x, mode, dtype)
+    return out / x.shape[-1] if fwd_scale else out
 
 
-def ifft(x, dtype=None):
-    """Scaled (1/N) inverse FFT over the last axis."""
-    return transform(x, Transform.IFFT, dtype)
+def fft(x, n=None, norm=None, dtype=None):
+    """Forward FFT over the last axis (numpy.fft.fft compatibility:
+    ``n`` crops/zero-pads, ``norm`` is backward/ortho/forward). Plans
+    implicitly, cached per size."""
+    return _fft_1d(x, n, norm, dtype, forward=True)
+
+
+def ifft(x, n=None, norm=None, dtype=None):
+    """Inverse FFT over the last axis (numpy.fft.ifft compatibility)."""
+    return _fft_1d(x, n, norm, dtype, forward=False)
 
 
 def transform_planar(re, im, mode: Transform, dtype=None):

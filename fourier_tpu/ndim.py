@@ -197,25 +197,94 @@ def _nd_plan(shape, dtype) -> NdFftPlan:
     return plan
 
 
-def fftn(x, ndim: Optional[int] = None, dtype=np.complex64):
-    """Forward FFT over the trailing `ndim` axes (default: all axes)."""
-    shape = np.shape(x)
-    ndim = len(shape) if ndim is None else ndim
-    return _nd_plan(shape[-ndim:], dtype).fft(x)
+def _norm_mode(norm: Optional[str], forward: bool):
+    """numpy.fft ``norm`` -> (Transform mode, extra 1/N scale needed?).
+
+    backward (default): fft unscaled, ifft 1/N. ortho: 1/sqrt(N) both ways.
+    forward: fft 1/N, ifft unscaled — the 1/N forward scale has no Transform
+    mode, so it is applied by the caller when the flag comes back True.
+    """
+    if norm in (None, "backward"):
+        return (Transform.FFT if forward else Transform.IFFT), False
+    if norm == "ortho":
+        return (
+            Transform.SQRT_SCALED_FFT if forward else Transform.SQRT_SCALED_IFFT
+        ), False
+    if norm == "forward":
+        return (Transform.FFT if forward else Transform.UNSCALED_IFFT), forward
+    raise ValueError(f"norm must be backward/ortho/forward, got {norm!r}")
 
 
-def ifftn(x, ndim: Optional[int] = None, dtype=np.complex64):
-    """Scaled inverse FFT over the trailing `ndim` axes (default: all)."""
-    shape = np.shape(x)
-    ndim = len(shape) if ndim is None else ndim
-    return _nd_plan(shape[-ndim:], dtype).ifft(x)
+def _crop_pad_axis(x: np.ndarray, n: int, axis: int) -> np.ndarray:
+    """numpy.fft semantics: truncate or zero-pad `axis` to length n."""
+    cur = x.shape[axis]
+    if cur == n:
+        return x
+    if cur > n:
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(0, n)
+        return x[tuple(sl)]
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, n - cur)
+    return np.pad(x, pad)
 
 
-def fft2(x, dtype=np.complex64):
-    """2-D forward FFT over the last two axes."""
-    return fftn(x, 2, dtype)
+def _resolve_axes(x_ndim: int, s, axes, ndim: Optional[int]):
+    if axes is not None:
+        axes = [a % x_ndim for a in np.atleast_1d(axes)]
+        if len(set(axes)) != len(axes):
+            raise ValueError(f"repeated axis in axes={axes}")
+    elif s is not None:
+        axes = list(range(x_ndim - len(s), x_ndim))
+    else:
+        k = x_ndim if ndim is None else ndim
+        axes = list(range(x_ndim - k, x_ndim))
+    if s is not None and len(s) != len(axes):
+        raise ValueError("s and axes must have the same length")
+    return axes
 
 
-def ifft2(x, dtype=np.complex64):
-    """2-D scaled inverse FFT over the last two axes."""
-    return ifftn(x, 2, dtype)
+def _fftn_impl(x, s, axes, norm, ndim, dtype, forward: bool):
+    x = np.asarray(x)
+    axes = _resolve_axes(x.ndim, s, axes, ndim)
+    if s is not None:
+        for n, ax in zip(s, axes):
+            x = _crop_pad_axis(x, int(n), ax)
+    mode, fwd_scale = _norm_mode(norm, forward)
+    # Rotate the transform axes (in order) to the trailing positions.
+    rest = [a for a in range(x.ndim) if a not in axes]
+    order = rest + axes
+    xt = np.transpose(x, order)
+    plan = _nd_plan(xt.shape[x.ndim - len(axes):], dtype)
+    out = plan.transform(xt, mode)
+    if fwd_scale:
+        out = out / plan.size
+    return np.transpose(out, np.argsort(order))
+
+
+def fftn(x, ndim: Optional[int] = None, dtype=np.complex64, *,
+         s=None, axes=None, norm: Optional[str] = None):
+    """Forward FFT over `axes` (default: trailing `ndim` axes, default all).
+
+    numpy.fft.fftn compatibility: ``s`` crops/zero-pads each transformed
+    axis, ``axes`` selects arbitrary axes, ``norm`` is backward/ortho/forward.
+    """
+    return _fftn_impl(x, s, axes, norm, ndim, dtype, forward=True)
+
+
+def ifftn(x, ndim: Optional[int] = None, dtype=np.complex64, *,
+          s=None, axes=None, norm: Optional[str] = None):
+    """Inverse FFT over `axes` (numpy.fft.ifftn compatibility)."""
+    return _fftn_impl(x, s, axes, norm, ndim, dtype, forward=False)
+
+
+def fft2(x, dtype=np.complex64, *, s=None, axes=(-2, -1),
+         norm: Optional[str] = None):
+    """2-D forward FFT (numpy.fft.fft2 compatibility)."""
+    return _fftn_impl(x, s, list(axes), norm, None, dtype, forward=True)
+
+
+def ifft2(x, dtype=np.complex64, *, s=None, axes=(-2, -1),
+          norm: Optional[str] = None):
+    """2-D inverse FFT (numpy.fft.ifft2 compatibility)."""
+    return _fftn_impl(x, s, list(axes), norm, None, dtype, forward=False)

@@ -58,6 +58,22 @@ def summarize(plan) -> PlanSummary:
     except ImportError:  # pragma: no cover
         DdFftPlan = ()
 
+    from fourier_tpu.rfft import RfftPlan
+
+    if isinstance(plan, RfftPlan):
+        inner = summarize(plan.inner)
+        stages = (
+            ["even/odd de-interleave (reshape)", "half-size c2c FFT",
+             "Hermitian unpack + W twiddle"]
+            if plan.even
+            else ["zero imaginary plane", "full c2c FFT", "one-sided slice"]
+        )
+        return PlanSummary(
+            "RealFft", plan.n, plan.dtype.name,
+            inner.flops_per_transform + 8.0 * plan.n,
+            inner.table_bytes, plan.n * 4 + plan.out_len * 8, stages, [inner],
+        )
+
     n = plan.size
     eb = _element_bytes(plan.dtype.name)
     io = 2 * n * eb
@@ -135,6 +151,42 @@ def summarize(plan) -> PlanSummary:
         return PlanSummary(
             "FourStepLocal", n, plan.dtype.name, flops, tables, io, stages,
             [col, row],
+        )
+
+    from fourier_tpu.plan.vpu import VpuFftPlan
+
+    if isinstance(plan, VpuFftPlan):
+        from fourier_tpu.ops.pallas.stockham_vpu import radix_schedule
+
+        sched = radix_schedule(n)
+        flops = sum(6.0 * n * np.log2(r) for r in sched)
+        tables = sum(
+            int(np.prod(t.shape)) * t.dtype.itemsize
+            for pair in plan.fwd_tables + plan.inv_tables for t in pair
+        )
+        stages = [f"fused VMEM radix-{r} stage" for r in sched]
+        return PlanSummary(
+            "VpuFused", n, plan.dtype.name, flops, tables, io, stages
+        )
+
+    try:
+        from fourier_tpu.precision.vpu_dd_plan import VpuDdFftPlan
+    except ImportError:  # pragma: no cover
+        VpuDdFftPlan = ()
+
+    if VpuDdFftPlan and isinstance(plan, VpuDdFftPlan):
+        from fourier_tpu.ops.pallas.stockham_vpu_dd import radix_schedule_dd
+
+        sched = radix_schedule_dd(n)
+        flops = sum(6.0 * n * np.log2(r) for r in sched) * 12
+        tables = sum(
+            int(np.prod(t.shape)) * t.dtype.itemsize
+            for t4 in plan.fwd_tables + plan.inv_tables for t in t4
+        )
+        stages = [f"fused VMEM dd radix-{r} stage" for r in sched]
+        return PlanSummary(
+            "VpuFusedDd", n, "complex128(dd)", flops, tables, 4 * n * 4 * 2,
+            stages,
         )
 
     if DdFftPlan and isinstance(plan, DdFftPlan):

@@ -380,13 +380,33 @@ def _rfft_plan(n: int, dtype) -> RfftPlan:
     return plan
 
 
-def rfft(x, dtype=np.complex64) -> np.ndarray:
-    """One-sided FFT of a real array over the last axis (numpy.fft.rfft)."""
+def _norm_scale(norm: Optional[str], n: int, forward: bool) -> float:
+    """numpy.fft real-transform norm factor (applied host-side)."""
+    if norm in (None, "backward"):
+        return 1.0
+    if norm == "ortho":
+        return 1.0 / np.sqrt(n) if forward else np.sqrt(n)
+    if norm == "forward":
+        return 1.0 / n if forward else float(n)
+    raise ValueError(f"norm must be backward/ortho/forward, got {norm!r}")
+
+
+def rfft(x, n: Optional[int] = None, norm: Optional[str] = None,
+         dtype=np.complex64) -> np.ndarray:
+    """One-sided FFT of a real array over the last axis (numpy.fft.rfft:
+    ``n`` crops/zero-pads the input, ``norm`` is backward/ortho/forward)."""
+    from fourier_tpu.ndim import _crop_pad_axis
+
     x = np.asarray(x)
-    return _rfft_plan(x.shape[-1], dtype).rfft(x)
+    if n is not None:
+        x = _crop_pad_axis(x, int(n), x.ndim - 1)
+    out = _rfft_plan(x.shape[-1], dtype).rfft(x)
+    s = _norm_scale(norm, x.shape[-1], forward=True)
+    return out if s == 1.0 else out * s
 
 
-def irfft(x, n: Optional[int] = None, dtype=np.complex64) -> np.ndarray:
+def irfft(x, n: Optional[int] = None, norm: Optional[str] = None,
+          dtype=np.complex64) -> np.ndarray:
     """Inverse of :func:`rfft` (numpy.fft.irfft); ``n`` defaults to even
     2*(len-1)."""
     x = np.asarray(x)
@@ -398,7 +418,9 @@ def irfft(x, n: Optional[int] = None, dtype=np.complex64) -> np.ndarray:
             f"spectrum length {x.shape[-1]} inconsistent with n={n} "
             f"(need {plan.out_len})"
         )
-    return plan.irfft(x)
+    out = plan.irfft(x)
+    s = _norm_scale(norm, n, forward=False)
+    return out if s == 1.0 else out * s
 
 
 def rfftfreq(n: int, d: float = 1.0) -> np.ndarray:

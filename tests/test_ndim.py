@@ -153,3 +153,53 @@ def test_fftshift_helpers():
     np.testing.assert_array_equal(
         np.asarray(fftshift(x2, axes=1)), np.fft.fftshift(x2, axes=1)
     )
+
+
+def test_numpy_compat_kwargs():
+    """n/s/axes/norm parity with numpy.fft on the convenience API."""
+    import fourier_tpu as ft
+
+    rng = np.random.default_rng(0xA1)
+    rel = lambda g, w: np.linalg.norm(np.asarray(g) - w) / max(
+        np.linalg.norm(w), 1e-30
+    )
+    x = (
+        rng.standard_normal((3, 100)) + 1j * rng.standard_normal((3, 100))
+    ).astype(np.complex64)
+    for norm in (None, "ortho", "forward"):
+        for n in (None, 64, 128):
+            assert rel(ft.fft(x, n=n, norm=norm), np.fft.fft(x, n=n, norm=norm)) < 1e-5
+            assert rel(ft.ifft(x, n=n, norm=norm), np.fft.ifft(x, n=n, norm=norm)) < 1e-5
+    a = (
+        rng.standard_normal((4, 6, 8)) + 1j * rng.standard_normal((4, 6, 8))
+    ).astype(np.complex64)
+    assert rel(
+        ft.fftn(a, axes=(0, 2), norm="ortho"),
+        np.fft.fftn(a, axes=(0, 2), norm="ortho"),
+    ) < 1e-5
+    assert rel(ft.fft2(a, s=(8, 12)), np.fft.fft2(a, s=(8, 12))) < 1e-5
+    assert rel(
+        ft.ifftn(a, s=(4, 4), axes=(1, 2), norm="forward"),
+        np.fft.ifftn(a, s=(4, 4), axes=(1, 2), norm="forward"),
+    ) < 1e-5
+    assert rel(ft.fftn(a, 2), np.fft.fftn(a, axes=(-2, -1))) < 1e-5
+    with pytest.raises(ValueError):
+        ft.fftn(a, axes=(0, 0))
+    with pytest.raises(ValueError):
+        ft.fft(x, norm="bogus")
+
+
+def test_rfft_norm_kwargs():
+    import fourier_tpu as ft
+
+    rng = np.random.default_rng(0xA2)
+    rel = lambda g, w: np.linalg.norm(np.asarray(g) - w) / np.linalg.norm(w)
+    xr = rng.standard_normal((2, 50)).astype(np.float32)
+    for norm in (None, "ortho", "forward"):
+        for n in (None, 32, 64):
+            assert rel(
+                ft.rfft(xr, n=n, norm=norm), np.fft.rfft(xr, n=n, norm=norm)
+            ) < 1e-5, (norm, n)
+    spec = np.fft.rfft(xr).astype(np.complex64)
+    for norm in (None, "ortho", "forward"):
+        assert rel(ft.irfft(spec, norm=norm), np.fft.irfft(spec, norm=norm)) < 1e-4

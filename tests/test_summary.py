@@ -45,3 +45,21 @@ def test_dd_summary():
     s = summarize(plan)
     assert s.kind == "DoubleDouble"
     assert s.children and s.children[0].kind == "DoubleDouble"
+
+
+def test_summarize_new_plan_families():
+    import numpy as np
+
+    from fourier_tpu.plan.summary import describe, summarize
+    from fourier_tpu.plan.vpu import VpuFftPlan
+    from fourier_tpu.precision import VpuDdFftPlan
+    from fourier_tpu.rfft import RfftPlan
+
+    s = summarize(VpuFftPlan.create(4096))
+    assert s.kind == "VpuFused" and s.flops_per_transform > 0
+    s = summarize(VpuDdFftPlan.create(384))
+    assert s.kind == "VpuFusedDd" and len(s.stages) == 4
+    s = summarize(RfftPlan(64))
+    assert s.kind == "RealFft" and s.children
+    # dd rfft renders end-to-end (regression: plan.n vs plan.size)
+    assert "RealFft" in describe(RfftPlan(100, np.complex128, backend="dd"))
