@@ -22,5 +22,7 @@ __all__ = [
     "next_power_of_two",
 ]
 from fourier_tpu.plan.mxu import MxuFftPlan  # noqa: E402
+from fourier_tpu.plan.four_step_local import FourStepLocalPlan  # noqa: E402
+from fourier_tpu.plan.vpu import VpuFftPlan  # noqa: E402
 
-__all__.append("MxuFftPlan")
+__all__ += ["MxuFftPlan", "FourStepLocalPlan", "VpuFftPlan"]

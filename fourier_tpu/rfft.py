@@ -447,7 +447,8 @@ def _c2c_over_leading(y: np.ndarray, ndim: int, dtype, forward: bool):
     return np.moveaxis(yt, 0, -1)
 
 
-def rfftn(x, ndim: Optional[int] = None, dtype=np.complex64) -> np.ndarray:
+def rfftn(x, ndim: Optional[int] = None, dtype=np.complex64,
+          norm: Optional[str] = None) -> np.ndarray:
     """Real-input N-D FFT over the trailing `ndim` axes (numpy.fft.rfftn):
     one-sided along the last axis, full along the others."""
     x = np.asarray(x)
@@ -455,11 +456,14 @@ def rfftn(x, ndim: Optional[int] = None, dtype=np.complex64) -> np.ndarray:
     if not 1 <= ndim <= x.ndim:
         raise ValueError(f"ndim={ndim} out of range for rank-{x.ndim} input")
     y = _rfft_plan(x.shape[-1], dtype).rfft(x)
-    return _c2c_over_leading(y, ndim - 1, dtype, forward=True)
+    y = _c2c_over_leading(y, ndim - 1, dtype, forward=True)
+    total = int(np.prod(x.shape[x.ndim - ndim:]))
+    s = _norm_scale(norm, total, forward=True)
+    return y if s == 1.0 else y * s
 
 
 def irfftn(x, shape: Optional[Sequence[int]] = None, ndim: Optional[int] = None,
-           dtype=np.complex64) -> np.ndarray:
+           dtype=np.complex64, norm: Optional[str] = None) -> np.ndarray:
     """Inverse of :func:`rfftn` (numpy.fft.irfftn). ``shape`` gives the output
     sizes of the transformed axes (its length sets ``ndim``); the default last
     axis is the even size 2*(bins-1)."""
@@ -484,7 +488,10 @@ def irfftn(x, shape: Optional[Sequence[int]] = None, ndim: Optional[int] = None,
             f"spectrum length {y.shape[-1]} inconsistent with last-axis size "
             f"{n_last} (need {plan.out_len})"
         )
-    return plan.irfft(y)
+    out = plan.irfft(y)
+    total = int(np.prod(x.shape[x.ndim - ndim:-1], initial=1)) * n_last
+    s = _norm_scale(norm, total, forward=False)
+    return out if s == 1.0 else out * s
 
 
 def rfft2(x, dtype=np.complex64) -> np.ndarray:
@@ -503,7 +510,8 @@ def irfft2(x, shape: Optional[Sequence[int]] = None,
 # -- Hermitian-input transforms (numpy.fft.hfft / ihfft) ---------------------
 
 
-def hfft(x, n: Optional[int] = None, dtype=np.complex64) -> np.ndarray:
+def hfft(x, n: Optional[int] = None, norm: Optional[str] = None,
+         dtype=np.complex64) -> np.ndarray:
     """FFT of Hermitian-symmetric input -> real spectrum (numpy.fft.hfft).
 
     ``hfft(a, n) == irfft(conj(a), n) * n``: the roles of time and frequency
@@ -518,12 +526,16 @@ def hfft(x, n: Optional[int] = None, dtype=np.complex64) -> np.ndarray:
             f"input length {x.shape[-1]} inconsistent with n={n} "
             f"(need {plan.out_len})"
         )
-    return plan.irfft(np.conj(x)) * n
+    out = plan.irfft(np.conj(x)) * n
+    s = _norm_scale(norm, n, forward=True)  # hfft is the forward direction
+    return out if s == 1.0 else out * s
 
 
-def ihfft(x, dtype=np.complex64) -> np.ndarray:
+def ihfft(x, norm: Optional[str] = None, dtype=np.complex64) -> np.ndarray:
     """Inverse of :func:`hfft` (numpy.fft.ihfft): real input -> one-sided
     Hermitian spectrum, ``conj(rfft(x)) / n``."""
     x = np.asarray(x)
     n = x.shape[-1]
-    return np.conj(_rfft_plan(n, dtype).rfft(x)) / n
+    out = np.conj(_rfft_plan(n, dtype).rfft(x)) / n
+    s = _norm_scale(norm, n, forward=False)
+    return out if s == 1.0 else out * s

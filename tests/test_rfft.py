@@ -179,6 +179,29 @@ def test_hfft_ihfft_vs_numpy():
         hfft(a, n=100)
 
 
+def test_rfftn_hfft_norms():
+    from fourier_tpu.rfft import hfft, ihfft, irfftn, rfftn
+
+    rng = np.random.default_rng(RNG_SEED)
+    rel = lambda g, w: np.linalg.norm(np.asarray(g) - w) / max(
+        np.linalg.norm(w), 1e-30
+    )
+    x = rng.standard_normal((4, 6, 8)).astype(np.float32)
+    a = (
+        rng.standard_normal((2, 17)) + 1j * rng.standard_normal((2, 17))
+    ).astype(np.complex64)
+    xr = rng.standard_normal((2, 32)).astype(np.float32)
+    for norm in (None, "ortho", "forward"):
+        assert rel(rfftn(x, norm=norm), np.fft.rfftn(x, norm=norm)) < 1e-5
+        y = np.fft.rfftn(x).astype(np.complex64)
+        assert rel(
+            irfftn(y, shape=(4, 6, 8), norm=norm),
+            np.fft.irfftn(y, s=(4, 6, 8), axes=(0, 1, 2), norm=norm),
+        ) < 1e-4
+        assert rel(hfft(a, norm=norm), np.fft.hfft(a, norm=norm)) < 1e-4
+        assert rel(ihfft(xr, norm=norm), np.fft.ihfft(xr, norm=norm)) < 1e-5
+
+
 def test_rfftn_validation():
     from fourier_tpu.rfft import irfftn, rfftn
 
