@@ -48,7 +48,7 @@ from fourier_tpu.signal import fftconvolve, next_fast_len
 from fourier_tpu.utils.helpers import fftfreq, fftshift, ifftshift
 from fourier_tpu.transform import Transform
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 
 def _plan_for(n: int, dtype):
