@@ -21,12 +21,15 @@ import numpy as _np
 from fourier_tpu.plan import (
     AutosortPlan,
     BluesteinPlan,
+    CompiledFft,
     FftPlan,
     MxuFftPlan,
     clear_plan_cache,
     create_fft,
     create_fft_f32,
     create_fft_f64,
+    export_compiled,
+    load_compiled,
 )
 from fourier_tpu.plan.serialize import load_plan, plan_to_bytes, save_plan
 from fourier_tpu.plan.summary import describe, summarize
@@ -111,11 +114,14 @@ __all__ = [
     "MxuFftPlan",
     "NdFftPlan",
     "Transform",
+    "CompiledFft",
     "clear_plan_cache",
     "create_fft",
     "create_fft_f32",
     "create_fft_f64",
     "dct",
+    "export_compiled",
+    "load_compiled",
     "describe",
     "dst",
     "fft",

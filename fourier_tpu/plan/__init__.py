@@ -24,5 +24,17 @@ __all__ = [
 from fourier_tpu.plan.mxu import MxuFftPlan  # noqa: E402
 from fourier_tpu.plan.four_step_local import FourStepLocalPlan  # noqa: E402
 from fourier_tpu.plan.vpu import VpuFftPlan  # noqa: E402
+from fourier_tpu.plan.aot import (  # noqa: E402
+    CompiledFft,
+    export_compiled,
+    load_compiled,
+)
 
-__all__ += ["MxuFftPlan", "FourStepLocalPlan", "VpuFftPlan"]
+__all__ += [
+    "MxuFftPlan",
+    "FourStepLocalPlan",
+    "VpuFftPlan",
+    "CompiledFft",
+    "export_compiled",
+    "load_compiled",
+]

@@ -107,6 +107,57 @@ def test_load_plan_is_pickle_free(tmp_path):
         load_plan(bad)
 
 
+@pytest.mark.parametrize("n", [64, 73])  # autosort | Bluestein (integrity.rs:234-254)
+def test_export_compiled_parity(tmp_path, n):
+    """The public static_fft deliverable: export_compiled/load_compiled.
+
+    The loaded artifact executes with zero planning — parity against the
+    oracle at the reference's static-plan pair of sizes.
+    """
+    pytest.importorskip("jax.export")
+    from fourier_tpu import export_compiled, load_compiled
+
+    rng = np.random.default_rng(RNG_SEED + n)
+    plan = ft.create_fft(n, np.complex64, cache=False)
+    path = str(tmp_path / "compiled.npz")
+    export_compiled(plan, path, batch_shape=(4,))
+    comp = load_compiled(path)
+    assert comp.size == n and len(comp) == n
+    assert comp.real_dtype == np.float32
+
+    x = _rand(4 * n, rng, np.complex64).reshape(4, n)
+    for mode, ref in ((Transform.FFT, np.fft.fft), (Transform.IFFT, np.fft.ifft)):
+        ore, oim = comp.transform_planar(
+            np.real(x), np.imag(x), mode
+        )
+        got = np.asarray(ore) + 1j * np.asarray(oim)
+        np.testing.assert_allclose(got, ref(x, axis=-1), atol=1e-4)
+        # bit-identical to the live plan's jitted output
+        pre, pim = plan.transform_planar(np.real(x), np.imag(x), mode)
+        np.testing.assert_array_equal(np.asarray(ore), np.asarray(pre))
+        np.testing.assert_array_equal(np.asarray(oim), np.asarray(pim))
+
+    with pytest.raises(ValueError, match="not exported"):
+        comp.transform_planar(np.real(x), np.imag(x), Transform.UNSCALED_IFFT)
+
+
+def test_export_compiled_symbolic_batch(tmp_path):
+    """Batch-polymorphic export: one artifact serves any batch size."""
+    pytest.importorskip("jax.export")
+    from fourier_tpu import export_compiled, load_compiled
+
+    plan = ft.create_fft(48, np.complex64, cache=False)
+    path = str(tmp_path / "poly.npz")
+    export_compiled(plan, path, batch_shape=("b",), modes=(Transform.FFT,))
+    comp = load_compiled(path)
+    rng = np.random.default_rng(RNG_SEED)
+    for batch in (1, 3, 7):
+        x = _rand(batch * 48, rng, np.complex64).reshape(batch, 48)
+        ore, oim = comp.fft_planar(np.real(x), np.imag(x))
+        got = np.asarray(ore) + 1j * np.asarray(oim)
+        np.testing.assert_allclose(got, np.fft.fft(x, axis=-1), atol=1e-4)
+
+
 def test_aot_export_roundtrip():
     """AOT-compile the execute fn, serialize, reload, run — compile-time plan."""
     jax_export = pytest.importorskip("jax.export")
