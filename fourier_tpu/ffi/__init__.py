@@ -66,6 +66,10 @@ def load_library(build_if_missing: bool = True) -> ctypes.CDLL:
         size = getattr(lib, f"fourier_size_{suffix}")
         size.restype = ctypes.c_size_t
         size.argtypes = [ctypes.c_void_p]
+        tb = getattr(lib, f"fourier_transform_batch_{suffix}")
+        tb.restype = None
+        tb.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+                       ctypes.c_int]
     _lib = lib
     return lib
 
@@ -115,6 +119,23 @@ class NativeFftPlan:
             raise ValueError("need a contiguous array of plan size")
         getattr(self._lib, f"fourier_transform_in_place_{self._suffix}")(
             self._handle, x.ctypes.data_as(ctypes.c_void_p), int(transform)
+        )
+
+    def transform_batch_in_place(self, x, transform=0) -> None:
+        """In-place transform of every row of a contiguous (batch, n) array.
+
+        One FFI crossing for the whole batch (the C core loops the rows), so
+        per-call overhead doesn't pollute batched-regime measurements.
+        """
+        if not isinstance(x, np.ndarray) or x.dtype != self.dtype:
+            raise TypeError(f"need a {self.dtype} ndarray")
+        if x.ndim != 2 or x.shape[1] != self.size or not x.flags.c_contiguous:
+            raise ValueError(
+                f"need a contiguous (batch, {self.size}) array, got {x.shape}"
+            )
+        getattr(self._lib, f"fourier_transform_batch_{self._suffix}")(
+            self._handle, x.ctypes.data_as(ctypes.c_void_p), x.shape[0],
+            int(transform),
         )
 
     def fft(self, x):

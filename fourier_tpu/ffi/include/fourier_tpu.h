@@ -68,6 +68,16 @@ void fourier_transform_double(fourier_fft_double* plan,
 size_t fourier_size_float(fourier_fft_float* plan);
 size_t fourier_size_double(fourier_fft_double* plan);
 
+/* Transform `batch` contiguous rows of n interleaved complex values in
+ * place (row-major (batch, n) buffer). One boundary crossing for a whole
+ * batch — the batched-regime entry point (beyond the reference ABI). */
+void fourier_transform_batch_float(fourier_fft_float* plan,
+                                   fourier_complex_float* data, size_t batch,
+                                   int transform);
+void fourier_transform_batch_double(fourier_fft_double* plan,
+                                    fourier_complex_double* data, size_t batch,
+                                    int transform);
+
 #ifdef __cplusplus
 } /* extern "C" */
 

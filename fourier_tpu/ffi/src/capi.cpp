@@ -94,6 +94,34 @@ void fourier_transform_double(void* plan, const double* input, double* output,
   ::transform(static_cast<Plan<double>*>(plan), input, output, transform);
 }
 
+void fourier_transform_batch_float(void* plan, float* interleaved,
+                                   std::size_t batch, int transform) {
+  auto* p = static_cast<Plan<float>*>(plan);
+  if (!p || !interleaved || !valid_code(transform)) return;
+  try {
+    for (std::size_t b = 0; b < batch; ++b) {
+      p->transform_in_place(
+          reinterpret_cast<std::complex<float>*>(interleaved) + b * p->size(),
+          to_transform(transform));
+    }
+  } catch (...) {
+  }
+}
+
+void fourier_transform_batch_double(void* plan, double* interleaved,
+                                    std::size_t batch, int transform) {
+  auto* p = static_cast<Plan<double>*>(plan);
+  if (!p || !interleaved || !valid_code(transform)) return;
+  try {
+    for (std::size_t b = 0; b < batch; ++b) {
+      p->transform_in_place(
+          reinterpret_cast<std::complex<double>*>(interleaved) + b * p->size(),
+          to_transform(transform));
+    }
+  } catch (...) {
+  }
+}
+
 std::size_t fourier_size_float(void* plan) {
   auto* p = static_cast<Plan<float>*>(plan);
   return p ? p->size() : 0;

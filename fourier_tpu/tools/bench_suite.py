@@ -209,6 +209,39 @@ def bench_fftw(n: int, batch: int, forward: bool, dtype) -> Optional[float]:
     return _host_bench(lambda a: fn(a, axis=-1), x)
 
 
+def bench_native(n: int, batch: int, forward: bool, dtype) -> Optional[float]:
+    """The repo's own native C++ core (ctypes) as the third comparator.
+
+    The reference's bench philosophy is a three-way comparison (Fourier vs
+    RustFFT vs FFTW, ``fft_bench.rs:26-70``); FFTW is uninstallable here, so
+    the third implementation is the framework's native host core
+    (``ffi/src/fft_core.cpp``), driven through the batched C ABI entry so one
+    FFI crossing covers the whole batch. Rows are capped at 2048 (the
+    per-transform rate is batch-independent for a single-threaded host loop);
+    the returned time is scaled to the row's nominal batch. None when the
+    native library can't be built (no toolchain).
+    """
+    try:
+        from fourier_tpu.ffi import NativeFftPlan
+
+        plan = NativeFftPlan(n, dtype)
+    except Exception:
+        return None
+    nb = min(batch, 2048)
+    rng = np.random.default_rng(0)
+    x = np.ascontiguousarray(
+        (rng.standard_normal((nb, n)) + 1j * rng.standard_normal((nb, n)))
+        .astype(dtype)
+    )
+    code = 0 if forward else 1
+    plan.transform_batch_in_place(x, code)  # warmup
+    t0 = time.perf_counter()
+    for _ in range(HOST_ITERS):
+        plan.transform_batch_in_place(x, code)
+    dt = (time.perf_counter() - t0) / HOST_ITERS
+    return dt * (batch / nb)
+
+
 def accuracy_rel_l2(n: int, forward: bool, dtype) -> float:
     """Single-application rel-L2 of this framework vs scipy (the gate)."""
     import scipy.fft as sfft
@@ -270,12 +303,17 @@ def run(
                         ("fourier_tpu", lambda: ours(n, b, forward)),
                         ("numpy", lambda: bench_numpy(n, b, forward, dtype)),
                         ("scipy", lambda: bench_scipy(n, b, forward, dtype)),
+                        ("native", lambda: bench_native(n, b, forward, dtype)),
                         ("fftw", lambda: bench_fftw(n, b, forward, dtype)),
                     ):
                         try:
                             dt = fn()
                             if dt is None:
-                                row[f"{name}_note"] = "pyfftw not installed"
+                                row[f"{name}_note"] = (
+                                    "pyfftw not installed"
+                                    if name == "fftw"
+                                    else "native library unavailable"
+                                )
                                 continue
                             row[f"{name}_us"] = round(dt * 1e6, 1)
                             row[f"{name}_gflops"] = round(
@@ -293,6 +331,7 @@ def run(
                         f"tpu={row.get('fourier_tpu_gflops', '?'):>8} GF  "
                         f"numpy={row.get('numpy_gflops', '?'):>7} GF  "
                         f"scipy={row.get('scipy_gflops', '?'):>7} GF  "
+                        f"native={row.get('native_gflops', '?'):>6} GF  "
                         f"rel_l2={row.get('rel_l2', float('nan')):.2e}",
                         flush=True,
                     )

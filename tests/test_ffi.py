@@ -79,6 +79,22 @@ def test_native_in_place():
     np.testing.assert_allclose(buf, np.fft.fft(x), atol=1e-10)
 
 
+def test_native_batch_in_place():
+    """Batched C ABI entry: one crossing transforms every row of (batch, n)."""
+    rng = np.random.default_rng(RNG_SEED)
+    for dtype, tol in ((np.complex64, 1e-4), (np.complex128, 1e-10)):
+        n = 96
+        plan = ffi.NativeFftPlan(n, dtype)
+        x = np.ascontiguousarray(_rand(7 * n, rng, dtype).reshape(7, n))
+        buf = x.copy()
+        plan.transform_batch_in_place(buf, int(Transform.FFT))
+        np.testing.assert_allclose(buf, np.fft.fft(x, axis=-1), atol=tol)
+        plan.transform_batch_in_place(buf, int(Transform.IFFT))
+        np.testing.assert_allclose(buf, x, atol=tol)
+    with pytest.raises(ValueError):
+        plan.transform_batch_in_place(buf[:, :50], int(Transform.FFT))
+
+
 def test_native_errors():
     with pytest.raises(ValueError):
         ffi.NativeFftPlan(0)
