@@ -90,7 +90,12 @@ def main():
         t0 = time.perf_counter()
         for _ in range(ITERS):
             re_t, im_t = step(re_t, im_t)
-        jax.block_until_ready((re_t, im_t))
+        # Hard sync via a 4-byte element fetch: on this relay,
+        # block_until_ready alone has been observed to return before some
+        # chained programs actually finish (round-3 finding), while a full
+        # np.asarray fetch drags ~100 MB through the ~20 MB/s tunnel.
+        # Fetching one element forces completion at negligible cost.
+        float(re_t[0, 0])
         times.append((time.perf_counter() - t0) / (ITERS * CHAIN))
     dt = sorted(times)[1]
 

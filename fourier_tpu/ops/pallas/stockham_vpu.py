@@ -13,7 +13,11 @@ buffers in L1/registers the same way, ``autosort/mod.rs:337-378``).
 
 Restriction: n = 2^a * 3^b with 8 | n and 64 <= n <= 16384 (mixed
 radix-64/8/4/3/2 schedules with a leading pow2 stage keep every stage's
-interleave stride 8-aligned; see radix_schedule); other sizes use the MXU/XLA
+interleave stride 8-aligned; see radix_schedule), plus the pure 3^b sizes
+243..6561 via measured two-stage in-register 27/81 schedules
+(_POW3_SCHEDULES — 1.9-2.5x the MXU two-phase path despite the misaligned
+3-based interleaves, because two in-register two-level stages need only one
+interleave pass). Other sizes use the MXU/XLA
 paths. Batch-minor is the framework's native
 batched layout for chained spectral pipelines (fft -> pointwise -> ifft needs
 no transposes anywhere); batch-major callers pay one XLA transpose each way.
@@ -38,6 +42,19 @@ except Exception:  # pragma: no cover
     _VMEM = None
 
 from fourier_tpu.twiddle import stage_twiddles
+
+
+# Pure 3^b stage schedules, chosen by on-chip measurement (round 3, chained
+# batch-minor, honest 4-byte-fetch sync): two in-register two-level stages
+# beat every alternative order and the MXU two-phase path by 1.9-2.5x.
+# 243: (27,9) 355 GF [vs (9,27) 314]; 729: (81,9) 498 [vs (27,27) 432,
+# (9,81) 342]; 2187: (81,27) 468 [vs (27,81) 332]; 6561: (81,81) 326.
+_POW3_SCHEDULES = {
+    243: (27, 9),
+    729: (81, 9),
+    2187: (81, 27),
+    6561: (81, 81),
+}
 
 
 def radix_schedule(n: int) -> Optional[Sequence[int]]:
@@ -65,6 +82,11 @@ def radix_schedule(n: int) -> Optional[Sequence[int]]:
     if pow2 & (pow2 - 1):
         return None  # not 2^a * 3^b
     if pow2 < 8:
+        # Pure 3^b sizes: two-stage in-register 27/81 schedules (the round-2
+        # many-stage radix-9 attempt lost to the MXU path; two stages halve
+        # the misaligned 3-based interleave passes).
+        if pow2 == 1 and n in _POW3_SCHEDULES:
+            return list(_POW3_SCHEDULES[n])
         return None  # first stage must be a pow2 radix >= 8
     sched = []
     # First-stage slices are n/r rows; prefer radix 64 when it keeps >= 8 rows.
@@ -145,40 +167,42 @@ def _butterfly8(parts, forward: bool):
     return out
 
 
-_W64 = {
-    True: np.exp(-2j * np.pi * np.arange(64) / 64.0),
-    False: np.exp(2j * np.pi * np.arange(64) / 64.0),
-}
+def _two_level(parts, R, S, bfR, bfS, forward: bool):
+    """N = R*S-point DFT as an SxR Cooley-Tukey entirely in registers.
 
-
-def _butterfly64(parts, forward: bool):
-    """64-point DFT as 8x8 Cooley-Tukey entirely in registers.
-
-    X[k1 + 8*k2] = butterfly8_r( G_r[k1] * W64^(r*k1) )[k2], with
-    G_r = butterfly8 over parts[8*q2 + r]. The inter-level exchange is pure
-    Python list shuffling of SSA values — no Mosaic relayouts — and the W64
-    twiddles are compile-time constants, so a radix-64 stage costs one
-    interleave pass where two radix-8 stages would cost two plus a
-    table-twiddle pass.
+    With j = R*q + r: G_r[k1] = DFT_S over q of parts[R*q + r], then
+    X[k1 + S*k2] = DFT_R over r of (W_N^(r*k1) * G_r[k1]), evaluated at k2.
+    The inter-level exchange is pure Python list shuffling of SSA values —
+    no Mosaic relayouts — and the W_N twiddles are compile-time constants,
+    so one radix-N stage costs one interleave pass where two radix-R/S
+    stages would cost two plus a table-twiddle pass.
     """
-    w = _W64[forward]
-    g = [_butterfly8([parts[8 * q2 + r] for q2 in range(8)], forward)
-         for r in range(8)]  # g[r][k1]
-    out = [None] * 64
-    for k1 in range(8):
+    n = R * S
+    sign = -1.0 if forward else 1.0
+    w = np.exp(sign * 2j * np.pi * np.arange(n) / float(n))
+    g = [bfS([parts[R * q + r] for q in range(S)], forward)
+         for r in range(R)]  # g[r][k1]
+    out = [None] * n
+    for k1 in range(S):
         col = []
-        for r in range(8):
-            if r * k1 % 64 == 0:
+        for r in range(R):
+            t = (r * k1) % n
+            if t == 0:
                 col.append(g[r][k1])
             else:
-                c = w[(r * k1) % 64]
+                c = w[t]
                 cr, ci = np.float32(c.real), np.float32(c.imag)
                 gr, gi = g[r][k1]
                 col.append((gr * cr - gi * ci, gr * ci + gi * cr))
-        res = _butterfly8(col, forward)
-        for k2 in range(8):
-            out[k1 + 8 * k2] = res[k2]
+        res = bfR(col, forward)
+        for k2 in range(R):
+            out[k1 + S * k2] = res[k2]
     return out
+
+
+def _butterfly64(parts, forward: bool):
+    """64-point DFT as 8x8 Cooley-Tukey in registers (see _two_level)."""
+    return _two_level(parts, 8, 8, _butterfly8, _butterfly8, forward)
 
 
 def _butterfly2(parts, forward: bool):
@@ -223,44 +247,24 @@ def _butterfly4(parts, forward: bool):
     ]
 
 
-_W9 = {
-    True: np.exp(-2j * np.pi * np.arange(9) / 9.0),
-    False: np.exp(2j * np.pi * np.arange(9) / 9.0),
-}
-
-
 def _butterfly9(parts, forward: bool):
-    """9-point DFT as 3x3 Cooley-Tukey entirely in registers.
+    """9-point DFT as 3x3 Cooley-Tukey in registers (see _two_level)."""
+    return _two_level(parts, 3, 3, _butterfly3, _butterfly3, forward)
 
-    Same exchange pattern as :func:`_butterfly64` one level down: two radix-3
-    levels per memory pass, W9 twiddles as compile-time constants — so a
-    radix-9 stage costs one interleave pass where two radix-3 stages would
-    cost two plus a table-twiddle pass.
-    """
-    w = _W9[forward]
-    g = [_butterfly3([parts[3 * q + r] for q in range(3)], forward)
-         for r in range(3)]  # g[r][k1]
-    out = [None] * 9
-    for k1 in range(3):
-        col = []
-        for r in range(3):
-            t = (r * k1) % 9
-            if t == 0:
-                col.append(g[r][k1])
-            else:
-                c = w[t]
-                cr, ci = np.float32(c.real), np.float32(c.imag)
-                gr, gi = g[r][k1]
-                col.append((gr * cr - gi * ci, gr * ci + gi * cr))
-        res = _butterfly3(col, forward)
-        for k2 in range(3):
-            out[k1 + 3 * k2] = res[k2]
-    return out
+
+def _butterfly27(parts, forward: bool):
+    """27-point DFT as 9x3 Cooley-Tukey in registers (see _two_level)."""
+    return _two_level(parts, 3, 9, _butterfly3, _butterfly9, forward)
+
+
+def _butterfly81(parts, forward: bool):
+    """81-point DFT as 9x9 Cooley-Tukey in registers (see _two_level)."""
+    return _two_level(parts, 9, 9, _butterfly9, _butterfly9, forward)
 
 
 _BUTTERFLIES = {
     2: _butterfly2, 3: _butterfly3, 4: _butterfly4, 8: _butterfly8,
-    9: _butterfly9, 64: _butterfly64,
+    9: _butterfly9, 27: _butterfly27, 64: _butterfly64, 81: _butterfly81,
 }
 
 

@@ -66,19 +66,31 @@ def default_batch(n: int, base: int = 65536) -> int:
     return max(1024, 1 << int(np.log2(b)))
 
 
-def _time_steps(step, args, chain: int, iters: int):
-    """Median steady-state seconds per transform over 3 dependent rounds."""
+def _sync(out):
+    """Force completion via a 4-byte element fetch.
+
+    On this relay, block_until_ready has been observed to return before some
+    chained programs finish (round-3 finding), while a full np.asarray fetch
+    drags the whole array through the slow tunnel; fetching one element is
+    the honest sync.
+    """
     import jax
 
+    first = jax.tree_util.tree_leaves(out)[0]
+    float(first[(0,) * first.ndim])
+
+
+def _time_steps(step, args, chain: int, iters: int):
+    """Median steady-state seconds per transform over 3 dependent rounds."""
     out = step(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
         cur = out
         for _ in range(iters):
             cur = step(*cur)
-        jax.block_until_ready(cur)
+        _sync(cur)
         times.append((time.perf_counter() - t0) / (iters * chain))
         out = cur
     return sorted(times)[1]

@@ -42,19 +42,28 @@ def test_radix_schedule():
     assert radix_schedule(1152) == [64, 2, 9]
     assert radix_schedule(1728) == [64, 9, 3]
     assert radix_schedule(6144) == [64, 8, 4, 3]
-    # pure 3^b and 2^a*3^b with fewer than three 2s stay off the VPU kernel
-    # (first stage must be a pow2 radix >= 8; measured slower than MXU with a
-    # radix-9 first stage at n=2187)
-    for n in (1, 8, 16, 32, 100, 4095, 32768, 243, 729, 2187, 12, 48):
+    # pure 3^b: two-stage in-register 27/81 schedules (measured winners, r3)
+    assert radix_schedule(243) == [27, 9]
+    assert radix_schedule(729) == [81, 9]
+    assert radix_schedule(2187) == [81, 27]
+    assert radix_schedule(6561) == [81, 81]
+    # 2^a*3^b with fewer than three 2s (and non-tabled pure powers) stay off
+    # the VPU kernel (first stage must be a pow2 radix >= 8, or a tabled 3^b)
+    for n in (1, 8, 16, 32, 100, 4095, 32768, 81, 12, 48, 19683):
         assert radix_schedule(n) is None
     for n in (64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384, 12288,
-              72, 96, 192, 576, 1152, 1536, 1728, 3072, 4608, 6144):
+              72, 96, 192, 576, 1152, 1536, 1728, 3072, 4608, 6144,
+              243, 729, 2187, 6561):
         sched = radix_schedule(n)
         assert int(np.prod(sched)) == n
-        assert sched[0] in (8, 64)  # leading pow2 stage keeps strides aligned
+        # leading pow2 stage keeps strides aligned; pure 3^b sizes use the
+        # measured two-stage 27/81 table instead
+        assert sched[0] in (8, 64) or (n % 2 == 1 and sched[0] in (27, 81))
 
 
-@pytest.mark.parametrize("n", [64, 128, 256, 512, 1024, 4096, 96, 576, 1728])
+@pytest.mark.parametrize(
+    "n", [64, 128, 256, 512, 1024, 4096, 96, 576, 1728, 243, 729, 2187]
+)
 def test_vpu_batch_minor_vs_oracle(n):
     rng = np.random.default_rng(RNG_SEED + n)
     plan = VpuFftPlan.create(n)
