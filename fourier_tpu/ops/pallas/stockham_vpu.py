@@ -269,7 +269,7 @@ _BUTTERFLIES = {
 
 
 def _kernel(n, schedule, forward, scale, *refs):
-    """All-stages-fused Stockham over a (n, CB) block (radices 2/4/8/64)."""
+    """All-stages-fused Stockham over a (n, CB) block (radices 2..81)."""
     ntw = len(schedule) - 1  # final stage has all-ones twiddles
     tw_refs = refs[:2 * ntw]
     xre_ref, xim_ref, ore_ref, oim_ref = refs[2 * ntw:]
@@ -278,6 +278,7 @@ def _kernel(n, schedule, forward, scale, *refs):
     cb = re.shape[-1]
     size = n
     stride = 1
+    last = len(schedule) - 1
     for s, r in enumerate(schedule):
         m = size // r
         # Gather: contiguous sublane slices (input viewed (r, m*stride, CB)).
@@ -295,6 +296,23 @@ def _kernel(n, schedule, forward, scale, *refs):
                 ti_ = twim[:, k].reshape(blk, 1)
                 orr, oii = outs[k]
                 outs[k] = (orr * tr - oii * ti_, orr * ti_ + oii * tr)
+        if s == last:
+            # Final stage: m == 1, so out k covers the contiguous row slab
+            # [k*stride, (k+1)*stride) — store each slab (with the mode's
+            # scale folded in) straight to the output refs, skipping the
+            # stack+reshape materialization and the full-array copy the
+            # generic epilogue would cost (one whole read+write of the
+            # block saved per call; safe under input/output aliasing
+            # because every input ref was read once up front).
+            sc = None if scale is None else np.float32(scale)
+            for k in range(r):
+                orr, oii = outs[k]
+                if sc is not None:
+                    orr = orr * sc
+                    oii = oii * sc
+                ore_ref[k * stride:(k + 1) * stride] = orr
+                oim_ref[k * stride:(k + 1) * stride] = oii
+            return
         # Interleave: stacked (r, m, stride, CB) -> (m, r, stride, CB) -> flat.
         if stride == 1:
             # (m, r, CB): trailing (r, CB) is tile-aligned.
@@ -313,11 +331,6 @@ def _kernel(n, schedule, forward, scale, *refs):
             im = sim.reshape(n, cb)
         size = m
         stride *= r
-    if scale is not None:
-        re = re * np.float32(scale)
-        im = im * np.float32(scale)
-    ore_ref[...] = re
-    oim_ref[...] = im
 
 
 def vpu_fft_batch_minor(

@@ -14,8 +14,11 @@ n//2+1 one-sided spectrum:
   X[k] = E[k] + W_n^k * O[k]  (k = 0..m-1),   X[m] = E[0] - O[0]
 
 The inverse runs the unpack backwards (O recovered with conj(W)) and one
-scaled c2c IFFT of size m. Odd sizes fall back to a full c2c transform with a
-zero imaginary plane (correct for any n, ~2x the even-path work).
+scaled c2c IFFT of size m. Odd sizes (no even/odd sample split exists) use
+batched two-for-one packing instead: two real batch rows ride one complex
+c2c transform (z = x1 + i*x2; X1 = (Z + conj(Z_rev))/2,
+X2 = -i*(Z - conj(Z_rev))/2), halving the work of the zero-imaginary-plane
+fallback, which remains only for batch < 2 and odd-batch remainder rows.
 
 All unpack twiddles are f64 numpy at plan time (twiddle.rs:9-13 discipline);
 everything on-device is planar f32 (or f64 on an x64 host).
@@ -138,12 +141,51 @@ class RfftPlan:
         out = jnp.stack([zr, zi], axis=-1)
         return out.reshape(*zr.shape[:-1], self.n)
 
-    def _rfft_odd(self, x):
+    def _rfft_odd_single(self, x):
         zero = jnp.zeros_like(x)
         fr, fi = self.inner._apply(x, zero, Transform.FFT)
         return fr[..., : self.out_len], fi[..., : self.out_len]
 
-    def _irfft_odd(self, re, im):
+    def _rfft_odd(self, x):
+        """Odd-n real forward FFT via batched two-for-one packing.
+
+        No even/odd sample split exists for odd n, but two REAL signals pack
+        exactly into one complex c2c transform: z = x1 + i*x2, Z = FFT(z),
+        then X1 = (Z + conj(Z_rev))/2, X2 = -i*(Z - conj(Z_rev))/2 with
+        Z_rev[k] = Z[(n-k) mod n] — the classic two-real-FFTs-at-once
+        identity. Batch rows pair up, halving the c2c work vs the zero-
+        imaginary-plane fallback (which remains for batch < 2 and any odd
+        remainder row). Shapes are static at trace time, so the pairing is
+        compile-time control flow.
+        """
+        lead = x.shape[:-1]
+        bsz = int(np.prod(lead, initial=1))
+        if bsz < 2:
+            return self._rfft_odd_single(x)
+        n, L = self.n, self.out_len
+        xf = x.reshape(bsz, n)
+        # Pair row j with row j+h (contiguous half-slabs — strided row
+        # gathers and row interleaves measure ~5x slower than slab
+        # slicing/concat on this chip).
+        h = bsz // 2
+        zr, zi = self.inner._apply(xf[:h], xf[h : 2 * h], Transform.FFT)
+        # Reversed planes Z[(n-k) mod n], truncated to the one-sided length.
+        zsr = jnp.concatenate([zr[..., :1], zr[..., : L - 1 : -1]], axis=-1)
+        zsi = jnp.concatenate([zi[..., :1], zi[..., : L - 1 : -1]], axis=-1)
+        hr, hi = zr[..., :L], zi[..., :L]
+        x1r, x1i = 0.5 * (hr + zsr), 0.5 * (hi - zsi)
+        x2r, x2i = 0.5 * (hi + zsi), -0.5 * (hr - zsr)
+        parts_r = [x1r, x2r]
+        parts_i = [x1i, x2i]
+        if 2 * h != bsz:  # odd batch: last row via the single-signal fallback
+            lr, li = self._rfft_odd_single(xf[2 * h :])
+            parts_r.append(lr)
+            parts_i.append(li)
+        outr = jnp.concatenate(parts_r, axis=0)
+        outi = jnp.concatenate(parts_i, axis=0)
+        return outr.reshape(*lead, L), outi.reshape(*lead, L)
+
+    def _irfft_odd_single(self, re, im):
         # Rebuild the full Hermitian spectrum, then one scaled c2c IFFT.
         tail_r = re[..., -1:0:-1]
         tail_i = -im[..., -1:0:-1]
@@ -151,6 +193,40 @@ class RfftPlan:
         fi = jnp.concatenate([im, tail_i], axis=-1)
         xr, _ = self.inner._apply(fr, fi, Transform.IFFT)
         return xr
+
+    def _irfft_odd(self, re, im):
+        """Odd-n inverse via two-for-one: pack two one-sided spectra as
+        Z = X1 + i*X2 (full spectrum by Hermitian extension), one c2c IFFT
+        yields z = x1 + i*x2 — both real signals in one transform."""
+        lead = re.shape[:-1]
+        bsz = int(np.prod(lead, initial=1))
+        if bsz < 2:
+            return self._irfft_odd_single(re, im)
+        n, L = self.n, self.out_len
+        rf = re.reshape(bsz, L)
+        if_ = im.reshape(bsz, L)
+        # numpy.fft.irfft ignores the imaginary DC bin (real-signal
+        # semantics); zeroing it here is what makes X1/X2 exactly Hermitian
+        # so the packed inverse separates cleanly.
+        if_ = if_.at[..., 0].set(0)
+        h = bsz // 2  # contiguous half-slab pairing, as in _rfft_odd
+        x1r, x1i = rf[:h], if_[:h]
+        x2r, x2i = rf[h : 2 * h], if_[h : 2 * h]
+        # Head k = 0..L-1: Z = X1 + i*X2.
+        zr_head = x1r - x2i
+        zi_head = x1i + x2r
+        # Tail k = L..n-1 (j = n-k runs L-1..1): conj(X1[j]) + i*conj(X2[j]).
+        rev = lambda p: p[..., -1:0:-1]
+        zr_tail = rev(x1r) + rev(x2i)
+        zi_tail = -rev(x1i) + rev(x2r)
+        zr = jnp.concatenate([zr_head, zr_tail], axis=-1)
+        zi = jnp.concatenate([zi_head, zi_tail], axis=-1)
+        or_, oi = self.inner._apply(zr, zi, Transform.IFFT)  # 1/n scaling
+        parts = [or_, oi]
+        if 2 * h != bsz:
+            parts.append(self._irfft_odd_single(rf[2 * h :], if_[2 * h :]))
+        out = jnp.concatenate(parts, axis=0)
+        return out.reshape(*lead, n)
 
     # -- dd (double-word c128) twins ----------------------------------------
     #
@@ -219,7 +295,7 @@ class RfftPlan:
         )
         return inter(zrh, zih), inter(zrl, zil)
 
-    def _rfft_odd_dd(self, xh, xl):
+    def _rfft_odd_dd_single(self, xh, xl):
         zero = jnp.zeros_like(xh)
         out = self.inner._apply_dd(
             ((xh, xl), (zero, zero)), Transform.FFT
@@ -228,7 +304,44 @@ class RfftPlan:
         (rh, rl), (ih, il) = out
         return rh[..., :k], rl[..., :k], ih[..., :k], il[..., :k]
 
-    def _irfft_odd_dd(self, reh, rel, imh, iml):
+    def _rfft_odd_dd(self, xh, xl):
+        """dd twin of the two-for-one odd forward (see _rfft_odd)."""
+        from fourier_tpu.precision import ddcplx
+
+        lead = xh.shape[:-1]
+        bsz = int(np.prod(lead, initial=1))
+        if bsz < 2:
+            return self._rfft_odd_dd_single(xh, xl)
+        n, L = self.n, self.out_len
+        xh2 = xh.reshape(bsz, n)
+        xl2 = xl.reshape(bsz, n)
+        h = bsz // 2  # contiguous half-slab pairing, as in _rfft_odd
+        bp = 2 * h
+        z = self.inner._apply_dd(
+            ((xh2[:h], xl2[:h]), (xh2[h:bp], xl2[h:bp])), Transform.FFT
+        )
+        (zrh, zrl), (zih, zil) = z
+        revt = lambda p: jnp.concatenate(
+            [p[..., :1], p[..., : L - 1 : -1]], axis=-1
+        )
+        head = lambda p: p[..., :L]
+        zh = ((head(zrh), head(zrl)), (head(zih), head(zil)))
+        conj_zs = ((revt(zrh), revt(zrl)), (-revt(zih), -revt(zil)))
+        x1 = tuple(self._dd_half(p) for p in ddcplx.add(zh, conj_zs))
+        d = ddcplx.sub(zh, conj_zs)
+        x2 = (self._dd_half(d[1]), self._dd_half(ddcplx.neg(d)[0]))  # -i/2*d
+        parts = [
+            [x1[i][j], x2[i][j]] for i in (0, 1) for j in (0, 1)
+        ]  # reh, rel, imh, iml
+        if bp != bsz:
+            lastp = self._rfft_odd_dd_single(xh2[bp:], xl2[bp:])
+            for p, lp in zip(parts, lastp):
+                p.append(lp)
+        return tuple(
+            jnp.concatenate(p, axis=0).reshape(*lead, L) for p in parts
+        )
+
+    def _irfft_odd_dd_single(self, reh, rel, imh, iml):
         tail = lambda p: p[..., -1:0:-1]
         cat = lambda a, b: jnp.concatenate([a, b], axis=-1)
         value = (
@@ -237,6 +350,49 @@ class RfftPlan:
         )
         (oh, ol), _ = self.inner._apply_dd(value, Transform.IFFT)
         return oh, ol
+
+    def _irfft_odd_dd(self, reh, rel, imh, iml):
+        """dd twin of the two-for-one odd inverse (see _irfft_odd)."""
+        from fourier_tpu.precision import ddreal
+
+        lead = reh.shape[:-1]
+        bsz = int(np.prod(lead, initial=1))
+        if bsz < 2:
+            return self._irfft_odd_dd_single(reh, rel, imh, iml)
+        n, L = self.n, self.out_len
+        planes = [p.reshape(bsz, L) for p in (reh, rel, imh, iml)]
+        planes[2] = planes[2].at[..., 0].set(0)
+        planes[3] = planes[3].at[..., 0].set(0)
+        h = bsz // 2  # contiguous half-slab pairing, as in _rfft_odd
+        bp = 2 * h
+        x1 = [p[:h] for p in planes]     # (reh, rel, imh, iml) of signal 1
+        x2 = [p[h:bp] for p in planes]
+        rev = lambda p: p[..., -1:0:-1]
+        # Head: Z = X1 + i*X2 -> re = x1r - x2i, im = x1i + x2r (dd).
+        zr_head = ddreal.sub((x1[0], x1[1]), (x2[2], x2[3]))
+        zi_head = ddreal.add((x1[2], x1[3]), (x2[0], x2[1]))
+        # Tail (j = n-k): conj(X1[j]) + i*conj(X2[j]).
+        zr_tail = ddreal.add(
+            (rev(x1[0]), rev(x1[1])), (rev(x2[2]), rev(x2[3]))
+        )
+        zi_tail = ddreal.sub(
+            (rev(x2[0]), rev(x2[1])), (rev(x1[2]), rev(x1[3]))
+        )
+        cat = lambda a, b: jnp.concatenate([a, b], axis=-1)
+        value = (
+            (cat(zr_head[0], zr_tail[0]), cat(zr_head[1], zr_tail[1])),
+            (cat(zi_head[0], zi_tail[0]), cat(zi_head[1], zi_tail[1])),
+        )
+        (oh, ol), (ih_, il_) = self.inner._apply_dd(value, Transform.IFFT)
+        parts_h = [oh, ih_]  # rows 0..h-1 are x1 (re), rows h..2h-1 x2 (im)
+        parts_l = [ol, il_]
+        if bp != bsz:
+            lh, ll = self._irfft_odd_dd_single(*(p[bp:] for p in planes))
+            parts_h.append(lh)
+            parts_l.append(ll)
+        outh = jnp.concatenate(parts_h, axis=0)
+        outl = jnp.concatenate(parts_l, axis=0)
+        return outh.reshape(*lead, n), outl.reshape(*lead, n)
 
     # -- planar API ---------------------------------------------------------
 

@@ -28,6 +28,35 @@ def test_rfft_odd_vs_numpy(n):
     assert np.linalg.norm(got - want) < 1e-5 * max(np.linalg.norm(want), 1.0)
 
 
+@pytest.mark.parametrize("n", [7, 15, 81, 101, 243])
+@pytest.mark.parametrize("batch", [2, 5, (2, 3), (3, 1)])
+def test_rfft_odd_two_for_one_batched(n, batch):
+    """Odd n, batch >= 2: the two-for-one packed path (incl. odd-batch
+    remainder rows and multi-dim leading shapes) matches numpy."""
+    rng = np.random.default_rng(RNG_SEED + n)
+    shape = (batch if isinstance(batch, tuple) else (batch,)) + (n,)
+    x = rng.standard_normal(shape).astype(np.float32)
+    got = rfft(x)
+    want = np.fft.rfft(x, axis=-1)
+    assert got.shape == want.shape
+    assert np.linalg.norm(got - want) < 1e-5 * np.linalg.norm(want)
+    back = irfft(got, n=n)
+    np.testing.assert_allclose(back, x, atol=1e-4)
+
+
+def test_rfft_odd_two_for_one_dd():
+    """dd (c128) twin of the packed odd path: 1e-12 gate, batch 2/5."""
+    n = 101
+    rng = np.random.default_rng(RNG_SEED)
+    for batch in (2, 5):
+        x = rng.standard_normal((batch, n))
+        got = rfft(x, dtype=np.complex128)
+        want = np.fft.rfft(x, axis=-1)
+        assert np.linalg.norm(got - want) < 1e-12 * np.linalg.norm(want)
+        back = irfft(got, n=n, dtype=np.complex128)
+        np.testing.assert_allclose(back, x, atol=1e-12)
+
+
 @pytest.mark.parametrize("n", [4, 16, 100, 7, 15])
 def test_irfft_roundtrip(n):
     rng = np.random.default_rng(RNG_SEED + n)
