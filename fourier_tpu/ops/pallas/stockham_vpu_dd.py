@@ -181,6 +181,10 @@ def radix_schedule_dd(n: int) -> Optional[Sequence[int]]:
     if pow2 & (pow2 - 1):
         return None
     if pow2 < 8:
+        # Pure 3^b stays on the XLA dd path: an all-radix-3 fused schedule
+        # was measured 3x SLOWER than XLA dd here (round 3: 243 at 10.9 vs
+        # 32.1 GF nominal) — the misaligned 3-based interleaves dominate
+        # even dd's 12x compute multiplier.
         return None
     sched = []
     m = pow2
@@ -220,9 +224,11 @@ def _kernel(n, schedule, forward, scale, barrier, *refs):
     (xrh_ref, xrl_ref, xih_ref, xil_ref,
      orh_ref, orl_ref, oih_ref, oil_ref) = refs[4 * ntw:]
     planes = [xrh_ref[...], xrl_ref[...], xih_ref[...], xil_ref[...]]
+    out_refs = (orh_ref, orl_ref, oih_ref, oil_ref)
     cb = planes[0].shape[-1]
     size = n
     stride = 1
+    last = len(schedule) - 1
     for s, r in enumerate(schedule):
         m = size // r
         blk = m * stride
@@ -243,6 +249,18 @@ def _kernel(n, schedule, forward, scale, barrier, *refs):
                 outs[k] = ops.mul(
                     outs[k], ((tk[0], tk[1]), (tk[2], tk[3]))
                 )
+        if s == last:
+            # Final stage: m == 1, out k is the contiguous row slab
+            # [k*stride, (k+1)*stride) — fold the mode scale in and store
+            # straight to the output refs, skipping the 4-plane stack+
+            # reshape materialization and the separate dd scale pass (safe
+            # under aliasing: every input ref was read once up front).
+            for k in range(r):
+                o = outs[k] if scale is None else ops.scale(outs[k], scale)
+                (rh_, rl_), (ih_, il_) = o
+                for ref, val in zip(out_refs, (rh_, rl_, ih_, il_)):
+                    ref[k * stride:(k + 1) * stride] = val
+            return
         # Interleave: (r, m, stride, CB) -> (m, r, stride, CB) -> flat.
         flat = []
         for plane_i in range(4):
@@ -257,16 +275,6 @@ def _kernel(n, schedule, forward, scale, barrier, *refs):
         planes = flat
         size = m
         stride *= r
-    if scale is not None:
-        value = ((planes[0], planes[1]), (planes[2], planes[3]))
-        (rh, rl), (ih, il) = (
-            ops.scale(value, scale)
-        )
-        planes = [rh, rl, ih, il]
-    orh_ref[...] = planes[0]
-    orl_ref[...] = planes[1]
-    oih_ref[...] = planes[2]
-    oil_ref[...] = planes[3]
 
 
 def vpu_dd_fft_batch_minor(

@@ -296,7 +296,11 @@ def run(
                 dtype = np.complex64 if dkey == "c64" else np.complex128
                 b = batch or default_batch(n)
                 if dkey == "c128":
-                    b = max(1024, b // 8)  # dd is ~10x work/bytes per lane
+                    # dd is ~10x work/bytes per lane, but fixed per-call
+                    # overheads dominate small-n rows at small batches
+                    # (measured round 3: dd n=256 kernel rate 2.4x higher at
+                    # b/2 than at b/8); halve rather than divide by 8.
+                    b = max(1024, b // 2)
                 for forward in (True, False):
                     row = {
                         "family": family,
