@@ -64,6 +64,14 @@ class MxuFftPlan(FftPlan):
 
     # -- construction ------------------------------------------------------
 
+    # Measured crossover (round 3, chained on-chip, B=65536): one full-size
+    # DFT matmul beats the tiny-contraction two-phase einsums wherever both
+    # split factors are small — the MXU runs K<64 contractions at ~5% of its
+    # HIGHEST-precision peak (~27 TF), while an n<=768 direct matmul runs at
+    # peak (191: 321 vs 117 GF; 222: 367 vs 160; 625: 248 vs 176; 722: 219
+    # vs 199; crossover by 1013: 180 vs 206).
+    DIRECT_SINGLE_MAX = 768
+
     @classmethod
     def create(cls, size: int, dtype=np.complex64, *, interpret: Optional[bool] = None,
                tb: Optional[int] = None, impl: str = "xla") -> Optional["MxuFftPlan"]:
@@ -77,6 +85,13 @@ class MxuFftPlan(FftPlan):
         if split is None:
             return None
         n1, n2 = split
+        if (
+            n1 != 1
+            and size <= cls.DIRECT_SINGLE_MAX
+            and max(n1, n2) < 64
+            and impl == "xla"
+        ):
+            n1, n2 = 1, size  # single full-size DFT matmul (see DIRECT_SINGLE_MAX)
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         real = np.float32
@@ -97,6 +112,30 @@ class MxuFftPlan(FftPlan):
                 tables[fwd] = _planar(d2, real) + _planar(t, real) + _planar(d1, real)
         return cls(size, n1, n2, dtype, tables[True], tables[False],
                    interpret=interpret, tb=tb, impl=impl)
+
+    @classmethod
+    def create_direct(
+        cls, size: int, dtype=np.complex64, *, interpret: Optional[bool] = None
+    ) -> Optional["MxuFftPlan"]:
+        """Single full-size DFT-matmul plan for ANY size (no split needed).
+
+        The planner uses this for split-less sizes (primes > 128) up to
+        DIRECT_SINGLE_MAX, where one at-peak matmul beats Bluestein's two
+        padded inner transforms (191: 321 vs 117 GF; 439: 289 vs 161).
+        """
+        if size < 1:
+            raise ValueError(f"FFT size must be >= 1, got {size}")
+        dtype = np.dtype(dtype)
+        if dtype != np.dtype(np.complex64):
+            return None
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        real = np.float32
+        tables = {
+            fwd: _planar(dft_matrix(size, fwd), real) for fwd in (True, False)
+        }
+        return cls(size, 1, size, dtype, tables[True], tables[False],
+                   interpret=interpret, impl="xla")
 
     # -- execution ---------------------------------------------------------
 

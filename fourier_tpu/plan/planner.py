@@ -108,6 +108,17 @@ def _create_mxu(size: int, dtype: np.dtype, *, vpu_first: bool = False) -> FftPl
     if plan is not None:
         return plan
 
+    # Split-less sizes (primes > 128) up to the measured crossover: one
+    # at-peak DFT matmul beats Bluestein's two padded inner transforms
+    # (MxuFftPlan.DIRECT_SINGLE_MAX rationale).
+    if (
+        dtype == np.dtype(np.complex64)
+        and size <= MxuFftPlan.DIRECT_SINGLE_MAX
+    ):
+        plan = MxuFftPlan.create_direct(size, dtype)
+        if plan is not None:
+            return plan
+
     # No usable divisor structure (large primes): Bluestein, whose
     # power-of-two inner always has a fused-kernel plan.
     def inner_factory(m, dt):

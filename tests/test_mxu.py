@@ -194,3 +194,33 @@ def test_large_prime_bluestein_inner_composite():
     got = _run(plan, x, Transform.FFT)
     want = np.fft.fft(x)
     assert np.linalg.norm(got - want) / np.linalg.norm(want) < 2e-6
+
+
+def test_direct_single_phase_policy():
+    """Measured round-3 policy: small-factor composites and sub-crossover
+    primes run one full-size DFT matmul instead of tiny-K two-phase einsums
+    or Bluestein (MxuFftPlan.DIRECT_SINGLE_MAX rationale)."""
+    from fourier_tpu.plan.mxu import MxuFftPlan
+
+    # small-factor composites -> direct single phase (512's balanced split
+    # is (16,32) — also tiny-K, so it flips to direct as well)
+    for n in (222, 512, 625, 722):
+        plan = MxuFftPlan.create(n)
+        assert plan.single_phase, n
+    # a >=64 factor keeps the two-phase split (K=64 contractions run near peak)
+    for n in (2048, 4096):
+        plan = MxuFftPlan.create(n)
+        assert not plan.single_phase, n
+    # primes <= crossover: planner prefers direct over Bluestein
+    for n in (191, 439):
+        plan = ft.create_fft(n, backend="mxu", cache=False)
+        assert isinstance(plan, MxuFftPlan) and plan.single_phase, n
+    # past the crossover: Bluestein again
+    plan = ft.create_fft(1013, backend="mxu", cache=False)
+    assert isinstance(plan, BluesteinPlan)
+    # correctness of a direct prime plan
+    rng = np.random.default_rng(RNG_SEED)
+    x = _rand(439, rng)
+    got = _run(ft.create_fft(439, backend="mxu", cache=False), x, Transform.FFT)
+    want = np.fft.fft(x)
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 2e-6
