@@ -110,6 +110,52 @@ class BluesteinPlan(FftPlan):
             ore, oim = ore * s, oim * s
         return ore, oim
 
+    def transform_planar_bm(self, re_t, im_t,
+                            transform: Transform = Transform.FFT):
+        """Batch-minor (n, B) planar execution — transpose-free end-to-end
+        when the inner plan is batch-minor native (the fused VPU kernel).
+
+        The chirp/w pointwise passes broadcast the (n,)/(M,) tables as
+        column vectors over the B lanes; the inner forward/inverse FFTs run
+        through the inner plan's own batch-minor entry. Falls back to the
+        batch-major path (one transpose each way) when the inner plan has no
+        batch-minor entry.
+        """
+        transform = Transform(transform)
+        re_t = jnp.asarray(re_t)
+        im_t = jnp.asarray(im_t)
+        if re_t.shape[0] != self.size:
+            raise ValueError(
+                f"leading axis {re_t.shape[0]} != plan size {self.size}"
+            )
+        if not hasattr(self.inner, "transform_planar_bm"):
+            ore, oim = self._apply(re_t.T, im_t.T, transform)
+            return ore.T, oim.T
+        forward = transform.is_forward
+        xt = self.x_fwd if forward else self.x_inv
+        wt = self.w_fwd if forward else self.w_inv
+        col = lambda p: p.reshape(-1, 1)
+        xr, xi = col(xt[0]), col(xt[1])
+        wr, wi = col(wt[0]), col(wt[1])
+        wre = re_t * xr - im_t * xi
+        wim = re_t * xi + im_t * xr
+        pad = [(0, self.inner.size - self.size), (0, 0)]
+        wre = jnp.pad(wre, pad)
+        wim = jnp.pad(wim, pad)
+        wre, wim = self.inner.transform_planar_bm(wre, wim, Transform.FFT)
+        wre, wim = wre * wr - wim * wi, wre * wi + wim * wr
+        wre, wim = self.inner.transform_planar_bm(
+            wre, wim, Transform.IFFT
+        )  # absorbs 1/M
+        hre, him = wre[: self.size], wim[: self.size]
+        ore = hre * xr - him * xi
+        oim = hre * xi + him * xr
+        scale = self._scale_for(transform)
+        if scale is not None:
+            s = jnp.asarray(scale, dtype=ore.dtype)
+            ore, oim = ore * s, oim * s
+        return ore, oim
+
     # -- pytree protocol ---------------------------------------------------
 
     def tree_flatten(self):

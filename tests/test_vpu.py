@@ -145,3 +145,24 @@ def test_vpu_unsupported_sizes():
     assert VpuFftPlan.create(32) is None
     assert VpuFftPlan.create(32768) is None
     assert VpuFftPlan.create(64, np.complex128) is None
+
+
+def test_bluestein_batch_minor_path():
+    """Bluestein's transform_planar_bm is transpose-free with a bm-native
+    (fused VPU) inner and falls back correctly for batch-major-only inners."""
+    from fourier_tpu.plan.autosort import AutosortPlan
+    from fourier_tpu.plan.bluestein import BluesteinPlan
+
+    rng = np.random.default_rng(RNG_SEED)
+    vpu_factory = lambda m, dt: VpuFftPlan.create(m, dt) or AutosortPlan.create(m, dt)
+    for n, factory in ((73, vpu_factory), (100, None)):
+        plan = BluesteinPlan.create(n, np.complex64, inner_factory=factory)
+        x = rng.standard_normal((n, 5)) + 1j * rng.standard_normal((n, 5))
+        for mode in (Transform.FFT, Transform.IFFT, Transform.SQRT_SCALED_FFT):
+            ore, oim = plan.transform_planar_bm(
+                x.real.astype(np.float32), x.imag.astype(np.float32), mode
+            )
+            got = np.asarray(ore) + 1j * np.asarray(oim)
+            want = oracle_transform(x.T, mode).T
+            tol = 3e-6 * max(1.0, float(np.max(np.abs(want))))
+            assert np.max(np.abs(got - want)) < tol, (n, mode)
