@@ -37,6 +37,38 @@ def folded_phase_b(n1: int, n2: int, forward: bool, scale: float = 1.0) -> np.nd
     return d1[None, :, :] * t[:, None, :]
 
 
+def packed_phase_b(
+    n1: int, n2: int, forward: bool, pack: int, scale: float = 1.0
+) -> np.ndarray:
+    """Block-diagonal-packed phase B: (n2/pack, pack*n1, pack*n1) complex128.
+
+    Groups `pack` adjacent k2's so the per-group contraction is a
+    (pack*n1)-dim matmul instead of a k2-batched n1-dim one: the MXU runs
+    K<64 contractions at ~5% of peak, so trading pack x flops for ~pack^2 x
+    utilization wins whenever pack*n1 approaches 128 (measured round 3:
+    batched 27-dim 1.6 TF vs 81-packed 5.3 TF). Requires pack | n2.
+
+    BD[g, kk*n1 + p, kk'*n1 + a] = delta(kk, kk') * Df[g*pack + kk, p, a].
+    """
+    assert n2 % pack == 0, (n2, pack)
+    df = folded_phase_b(n1, n2, forward, scale)  # (n2, n1, n1)
+    g = n2 // pack
+    dfg = df.reshape(g, pack, n1, n1)  # k2 = g*pack + kk
+    bd = np.zeros((g, pack * n1, pack * n1), dtype=np.complex128)
+    for kk in range(pack):
+        bd[:, kk * n1:(kk + 1) * n1, kk * n1:(kk + 1) * n1] = dfg[:, kk]
+    return bd
+
+
+def choose_pack(n1: int, n2: int, limit: int = 128) -> int:
+    """Largest pack with pack | n2 and pack*n1 <= limit (1 = no packing)."""
+    best = 1
+    for p in range(2, n2 + 1):
+        if n2 % p == 0 and p * n1 <= limit:
+            best = p
+    return best
+
+
 def split_twiddle(n1: int, n2: int, forward: bool) -> np.ndarray:
     """Dense (n2, n1) glue twiddle T[k2, a] = W_(n1*n2)^(±a*k2), complex128.
 

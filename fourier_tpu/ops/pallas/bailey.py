@@ -249,6 +249,36 @@ def xla_fft_two_phase_folded(re, im, d2re, d2im, dfre, dfim):
     return ore.reshape(b, n), oim.reshape(b, n)
 
 
+def xla_fft_two_phase_packed(re, im, d2re, d2im, bdre, bdim):
+    """XLA two-phase with phase B block-diagonal-packed (see packed_phase_b).
+
+    bd has shape (n2/pack, pack*n1, pack*n1): `pack` adjacent k2's share one
+    (pack*n1)-dim contraction, trading pack x flops for ~pack^2 x MXU
+    utilization — the winning trade whenever n1 < 64 (the MXU runs K<64
+    contractions at ~5% of its HIGHEST-precision peak; measured round 3).
+    """
+    b, n = re.shape
+    n2 = d2re.shape[0]
+    g, pn1, _ = bdre.shape
+    pack = n2 // g
+    n1 = pn1 // pack
+    mre = re.reshape(b, n2, n1)
+    mim = im.reshape(b, n2, n1)
+    mm = lambda d, m: jnp.einsum("kb,tba->tka", d, m, precision=_HIGHEST)
+    gre = mm(d2re, mre) - mm(d2im, mim)
+    gim = mm(d2re, mim) + mm(d2im, mre)
+    # (t, k2, a) -> (t, G, pack*n1): k2 = g*pack + kk, rows (kk, a) flatten
+    # contiguously — a free reshape, no data movement.
+    gre = gre.reshape(b, g, pn1)
+    gim = gim.reshape(b, g, pn1)
+    dg = lambda d, x: jnp.einsum("gPA,tgA->tgP", d, x, precision=_HIGHEST)
+    yre = dg(bdre, gre) - dg(bdim, gim)
+    yim = dg(bdre, gim) + dg(bdim, gre)
+    # (t, G, pack*n1) == (t, k2, p); final index is j' = p*n2 + k2.
+    tr = lambda y: jnp.transpose(y.reshape(b, n2, n1), (0, 2, 1)).reshape(b, n)
+    return tr(yre), tr(yim)
+
+
 def reference_two_phase(re, im, d2re, d2im, tre, tim, d1re, d1im):
     """XLA twin of the two-phase kernel (einsum): the default production path
     on this environment (see xla_fft_single docstring) and the differential

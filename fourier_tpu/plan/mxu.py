@@ -22,9 +22,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from fourier_tpu.ops.dft_matrix import (
+    choose_pack,
     choose_split,
     dft_matrix,
     folded_phase_b,
+    packed_phase_b,
     split_twiddle,
 )
 from fourier_tpu.ops.pallas import bailey
@@ -100,6 +102,10 @@ class MxuFftPlan(FftPlan):
             if n1 == 1:
                 d = dft_matrix(size, fwd)
                 tables[fwd] = _planar(d, real)
+            elif impl == "xla_packed":
+                d2 = dft_matrix(n2, fwd)
+                bd = packed_phase_b(n1, n2, fwd, choose_pack(n1, n2))
+                tables[fwd] = _planar(d2, real) + _planar(bd, real)
             elif impl == "xla":
                 # Twiddle folded into phase B (one fewer memory pass).
                 d2 = dft_matrix(n2, fwd)
@@ -163,6 +169,14 @@ class MxuFftPlan(FftPlan):
                 ore, oim = bailey.xla_fft_single(re2, im2, dre, dim)
             else:
                 ore, oim = bailey.mxu_fft_single(re2, im2, dre, dim, **kw)
+        elif self.impl == "xla_packed":
+            d2re, d2im, bdre, bdim = tables
+            if scale is not None:
+                s = jnp.float32(scale)
+                bdre, bdim = bdre * s, bdim * s
+            ore, oim = bailey.xla_fft_two_phase_packed(
+                re2, im2, d2re, d2im, bdre, bdim
+            )
         elif self.impl == "xla":
             d2re, d2im, dfre, dfim = tables
             if scale is not None:

@@ -183,13 +183,17 @@ def _host_bench(fn, x, iters: int = HOST_ITERS) -> float:
     return (time.perf_counter() - t0) / iters
 
 
+_HOST_ROW_CAP = 8192  # single-threaded host rate is batch-independent past ~1k
+
+
 def bench_numpy(n: int, batch: int, forward: bool, dtype) -> float:
+    nb = min(batch, _HOST_ROW_CAP)
     rng = np.random.default_rng(0)
     x = (
-        rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))
+        rng.standard_normal((nb, n)) + 1j * rng.standard_normal((nb, n))
     ).astype(dtype)
     fn = np.fft.fft if forward else np.fft.ifft
-    return _host_bench(lambda a: fn(a, axis=-1), x)
+    return _host_bench(lambda a: fn(a, axis=-1), x) * (batch / nb)
 
 
 def bench_scipy(n: int, batch: int, forward: bool, dtype) -> float:
@@ -197,12 +201,13 @@ def bench_scipy(n: int, batch: int, forward: bool, dtype) -> float:
         import scipy.fft as sfft
     except ImportError:  # pragma: no cover
         return float("nan")
+    nb = min(batch, _HOST_ROW_CAP)
     rng = np.random.default_rng(0)
     x = (
-        rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))
+        rng.standard_normal((nb, n)) + 1j * rng.standard_normal((nb, n))
     ).astype(dtype)
     fn = sfft.fft if forward else sfft.ifft
-    return _host_bench(lambda a: fn(a, axis=-1), x)
+    return _host_bench(lambda a: fn(a, axis=-1), x) * (batch / nb)
 
 
 def bench_fftw(n: int, batch: int, forward: bool, dtype) -> Optional[float]:
@@ -284,7 +289,10 @@ def run(
     families=None,
     max_sizes: int = 0,
     dtypes=("c64", "c128"),
+    json_path: Optional[str] = None,
 ) -> List[Dict]:
+    """Run the suite; with `json_path`, results are flushed after EVERY row
+    (a multi-hour run killed early still leaves a usable file)."""
     rows = []
     for family, sizes in SIZE_FAMILIES.items():
         if families and family not in families:
@@ -342,6 +350,9 @@ def run(
                     except Exception as e:  # pragma: no cover
                         row["rel_l2_error"] = str(e)[:150]
                     rows.append(row)
+                    if json_path:
+                        with open(json_path, "w") as f:
+                            json.dump(rows, f, indent=1)
                     print(
                         f"{family:10s} n={n:5d} {dkey} {row['direction']:4s} "
                         f"tpu={row.get('fourier_tpu_gflops', '?'):>8} GF  "
@@ -370,6 +381,7 @@ def main():
         families=args.family,
         max_sizes=args.max_sizes,
         dtypes=tuple(args.dtype) if args.dtype else ("c64", "c128"),
+        json_path=args.json,
     )
     if args.json:
         with open(args.json, "w") as f:
