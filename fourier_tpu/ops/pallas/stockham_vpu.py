@@ -268,6 +268,50 @@ _BUTTERFLIES = {
 }
 
 
+def _stages_value(re, im, n, schedule, tws, forward):
+    """Run the full Stockham stage pipeline on SSA values (no refs).
+
+    `tws`: list of (twre, twim) VALUE pairs per twiddle stage (the final
+    stage's all-ones table is omitted). Returns the transformed (n, cb)
+    planes. Shared by the plain kernel's prefix and the fused Bluestein
+    kernel (which runs two full pipelines back to back).
+    """
+    cb = re.shape[-1]
+    ntw = len(schedule) - 1
+    size = n
+    stride = 1
+    for s, r in enumerate(schedule):
+        m = size // r
+        blk = m * stride
+        parts = [
+            (re[k * blk:(k + 1) * blk], im[k * blk:(k + 1) * blk])
+            for k in range(r)
+        ]
+        outs = _BUTTERFLIES[r](parts, forward)
+        if s < ntw:
+            twre, twim = tws[s]
+            for k in range(1, r):
+                tr = twre[:, k].reshape(blk, 1)
+                ti_ = twim[:, k].reshape(blk, 1)
+                orr, oii = outs[k]
+                outs[k] = (orr * tr - oii * ti_, orr * ti_ + oii * tr)
+        if stride == 1:
+            sre = jnp.stack([o[0] for o in outs], axis=1)
+            sim = jnp.stack([o[1] for o in outs], axis=1)
+        else:
+            sre = jnp.stack(
+                [o[0].reshape(m, stride, cb) for o in outs], axis=1
+            )
+            sim = jnp.stack(
+                [o[1].reshape(m, stride, cb) for o in outs], axis=1
+            )
+        re = sre.reshape(n, cb)
+        im = sim.reshape(n, cb)
+        size = m
+        stride *= r
+    return re, im
+
+
 def _kernel(n, schedule, forward, scale, *refs):
     """All-stages-fused Stockham over a (n, CB) block (radices 2..81)."""
     ntw = len(schedule) - 1  # final stage has all-ones twiddles
@@ -331,6 +375,130 @@ def _kernel(n, schedule, forward, scale, *refs):
             im = sim.reshape(n, cb)
         size = m
         stride *= r
+
+
+def _bluestein_kernel(n, m_inner, schedule, scale, *refs):
+    """Fully-fused Bluestein chirp-z over a (n, CB) block.
+
+    One VMEM-resident pipeline per block: chirp multiply -> zero-pad to
+    m_inner -> forward Stockham stages -> w multiply -> inverse Stockham
+    stages (1/M folded into the final chirp table at plan time) -> chirp
+    multiply (+ mode scale) -> store. Replaces ~6 separate dispatches and
+    their HBM round-trips (chirp/pad/fft/w/ifft/chirp) with one kernel —
+    the reference runs the same five steps from L1 (bluesteins.rs:215-259).
+
+    Twiddle-table refs (in order): per-stage fwd tables, per-stage inv
+    tables (each ntw = len(schedule)-1 pairs), then xt (2 refs, (n, 1)),
+    wt (2 refs, (m_inner, 1)), xt_out (2 refs, (n, 1), includes 1/M).
+    """
+    ntw = len(schedule) - 1
+    fwd_tws = [(refs[2 * s][...], refs[2 * s + 1][...]) for s in range(ntw)]
+    off = 2 * ntw
+    inv_tws = [
+        (refs[off + 2 * s][...], refs[off + 2 * s + 1][...])
+        for s in range(ntw)
+    ]
+    off = 4 * ntw
+    xt_r = refs[off][...]
+    xt_i = refs[off + 1][...]
+    wt_r = refs[off + 2][...]
+    wt_i = refs[off + 3][...]
+    xo_r = refs[off + 4][...]
+    xo_i = refs[off + 5][...]
+    xre_ref, xim_ref, ore_ref, oim_ref = refs[off + 6:]
+    re = xre_ref[...]
+    im = xim_ref[...]
+    cb = re.shape[-1]
+    # chirp multiply + zero-pad to the inner size
+    wre = re * xt_r - im * xt_i
+    wim = re * xt_i + im * xt_r
+    zeros = jnp.zeros((m_inner - n, cb), jnp.float32)
+    wre = jnp.concatenate([wre, zeros], axis=0)
+    wim = jnp.concatenate([wim, zeros], axis=0)
+    # inner forward FFT
+    wre, wim = _stages_value(wre, wim, m_inner, schedule, fwd_tws, True)
+    # w multiply
+    wre, wim = wre * wt_r - wim * wt_i, wre * wt_i + wim * wt_r
+    # inner inverse FFT (unscaled; 1/M lives in xo)
+    wre, wim = _stages_value(wre, wim, m_inner, schedule, inv_tws, False)
+    # final chirp multiply (+ mode scale) on the first n rows
+    hre, him = wre[:n], wim[:n]
+    ore = hre * xo_r - him * xo_i
+    oim = hre * xo_i + him * xo_r
+    if scale is not None:
+        ore = ore * np.float32(scale)
+        oim = oim * np.float32(scale)
+    ore_ref[...] = ore
+    oim_ref[...] = oim
+
+
+def vpu_bluestein_batch_minor(
+    re_t,
+    im_t,
+    n: int,
+    m_inner: int,
+    stage_tables,
+    chirp_tables,
+    scale: Optional[float],
+    *,
+    cb: int = 128,
+    interpret: bool = False,
+    vmem_limit_bytes: Optional[int] = None,
+):
+    """Fused Bluestein FFT over batch-minor planar (n, B) data.
+
+    `stage_tables` = (fwd_tables, inv_tables) for the inner size (from
+    :func:`make_stage_tables`); `chirp_tables` = (xt, wt, xt_out) planar
+    pairs of shapes (n, 1), (m_inner, 1), (n, 1) — direction-matched, with
+    1/m_inner folded into xt_out. B must be a multiple of `cb`.
+    """
+    schedule = radix_schedule(m_inner)
+    assert schedule is not None, m_inner
+    b = re_t.shape[-1]
+    assert b % cb == 0, (b, cb)
+    grid = (b // cb,)
+    io = pl.BlockSpec((n, cb), lambda i: (0, i), memory_space=_VMEM)
+    const_specs = []
+    const_args = []
+    fwd_tables, inv_tables = stage_tables
+    for tbl in (fwd_tables, inv_tables):
+        for tre, tim in tbl:
+            shp = tre.shape
+            const_specs += [
+                pl.BlockSpec(shp, lambda i: (0, 0), memory_space=_VMEM)
+            ] * 2
+            const_args += [jnp.asarray(tre), jnp.asarray(tim)]
+    for tre, tim in chirp_tables:
+        shp = np.asarray(tre).shape
+        const_specs += [
+            pl.BlockSpec(shp, lambda i: (0, 0), memory_space=_VMEM)
+        ] * 2
+        const_args += [jnp.asarray(tre), jnp.asarray(tim)]
+    out_shape = [jax.ShapeDtypeStruct((n, b), jnp.float32)] * 2
+    kern = functools.partial(
+        _bluestein_kernel, n, m_inner, tuple(schedule), scale
+    )
+    flops = int(2 * 5 * m_inner * np.log2(m_inner) * b + 18 * n * b)
+    n_consts = len(const_args)
+    kw = {}
+    if vmem_limit_bytes and pltpu is not None and not interpret:
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit_bytes)
+        )
+    ore, oim = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=const_specs + [io, io],
+        out_specs=[io, io],
+        out_shape=out_shape,
+        input_output_aliases={n_consts: 0, n_consts + 1: 1},
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=n * b * 16, transcendentals=0
+        ),
+        **kw,
+    )(*const_args, re_t, im_t)
+    return ore, oim
 
 
 def vpu_fft_batch_minor(

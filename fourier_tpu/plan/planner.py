@@ -119,6 +119,16 @@ def _create_mxu(size: int, dtype: np.dtype, *, vpu_first: bool = False) -> FftPl
         if plan is not None:
             return plan
 
+    # Above the direct-matmul crossover, primes run the ONE-KERNEL fused
+    # Bluestein (whole chirp-z pipeline VMEM-resident) when its inner size
+    # fits; measured ~1.9x the composed Bluestein at n=1013 (round 3).
+    if vpu_first and dtype == np.dtype(np.complex64):
+        from fourier_tpu.plan.bluestein_fused import VpuBluesteinPlan
+
+        plan = VpuBluesteinPlan.create(size, dtype)
+        if plan is not None:
+            return plan
+
     # No usable divisor structure (large primes): Bluestein, whose
     # power-of-two inner always has a fused-kernel plan.
     def inner_factory(m, dt):

@@ -35,6 +35,7 @@ def _plan_registry():
     from fourier_tpu.parallel.sharded import Fft2dPlan, FourStepPlan
     from fourier_tpu.plan.autosort import AutosortPlan
     from fourier_tpu.plan.bluestein import BluesteinPlan
+    from fourier_tpu.plan.bluestein_fused import VpuBluesteinPlan
     from fourier_tpu.plan.four_step_local import FourStepLocalPlan
     from fourier_tpu.plan.mxu import MxuFftPlan
     from fourier_tpu.plan.vpu import VpuFftPlan
@@ -50,6 +51,7 @@ def _plan_registry():
             FourStepLocalPlan,
             MxuFftPlan,
             VpuFftPlan,
+            VpuBluesteinPlan,
             DdFftPlan,
             VpuDdFftPlan,
             FourStepPlan,

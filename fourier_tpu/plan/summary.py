@@ -169,6 +169,30 @@ def summarize(plan) -> PlanSummary:
             "VpuFused", n, plan.dtype.name, flops, tables, io, stages
         )
 
+    from fourier_tpu.plan.bluestein_fused import VpuBluesteinPlan
+
+    if isinstance(plan, VpuBluesteinPlan):
+        from fourier_tpu.ops.pallas.stockham_vpu import radix_schedule
+
+        m = plan.m_inner
+        sched = radix_schedule(m)
+        flops = 2 * sum(6.0 * m * np.log2(r) for r in sched) + 18.0 * n
+        tables = sum(
+            int(np.prod(np.asarray(t).shape)) * 4
+            for grp in (plan.stage_tables, plan.chirps_fwd, plan.chirps_inv)
+            for pair in grp for t in pair
+        )
+        stages = (
+            ["fused VMEM chirp multiply + zero-pad"]
+            + [f"fused VMEM radix-{r} stage (fwd)" for r in sched]
+            + ["fused VMEM w multiply"]
+            + [f"fused VMEM radix-{r} stage (inv)" for r in sched]
+            + ["fused VMEM chirp multiply (1/M folded)"]
+        )
+        return PlanSummary(
+            "VpuFusedBluestein", n, plan.dtype.name, flops, tables, io, stages
+        )
+
     try:
         from fourier_tpu.precision.vpu_dd_plan import VpuDdFftPlan
     except ImportError:  # pragma: no cover

@@ -166,3 +166,60 @@ def test_bluestein_batch_minor_path():
             want = oracle_transform(x.T, mode).T
             tol = 3e-6 * max(1.0, float(np.max(np.abs(want))))
             assert np.max(np.abs(got - want)) < tol, (n, mode)
+
+
+def test_fused_bluestein_vs_oracle():
+    """One-kernel Bluestein plan: all 5 modes vs oracle, bm + batch-major."""
+    from fourier_tpu.plan.bluestein_fused import VpuBluesteinPlan
+
+    rng = np.random.default_rng(RNG_SEED)
+    for n in (73, 100):
+        plan = VpuBluesteinPlan.create(n)
+        assert plan is not None and plan.m_inner >= 2 * n - 1
+        x = rng.standard_normal((n, 5)) + 1j * rng.standard_normal((n, 5))
+        re_t = x.real.astype(np.float32)
+        im_t = x.imag.astype(np.float32)
+        for mode in list(Transform):
+            ore, oim = plan.transform_planar_bm(re_t, im_t, mode)
+            got = np.asarray(ore) + 1j * np.asarray(oim)
+            want = oracle_transform(x.T, mode).T
+            tol = 3e-6 * max(1.0, float(np.max(np.abs(want))))
+            assert np.max(np.abs(got - want)) < tol, (n, mode)
+        # batch-major adapter
+        ore, oim = plan._apply(
+            np.ascontiguousarray(x.T.real).astype(np.float32),
+            np.ascontiguousarray(x.T.imag).astype(np.float32),
+            Transform.FFT,
+        )
+        got = (np.asarray(ore) + 1j * np.asarray(oim)).T
+        np.testing.assert_allclose(got, np.fft.fft(x, axis=0), atol=1e-3)
+
+
+def test_fused_bluestein_planner_selection_and_serialize(tmp_path):
+    from fourier_tpu.plan.bluestein_fused import VpuBluesteinPlan
+    from fourier_tpu.plan.serialize import load_plan, save_plan
+
+    # primes above the direct-matmul crossover select the one-kernel plan
+    plan = ft.create_fft(1013, backend="vpu", cache=False)
+    assert isinstance(plan, VpuBluesteinPlan) and plan.m_inner == 2048
+    # under the crossover: direct matmul wins (measured)
+    from fourier_tpu.plan.mxu import MxuFftPlan
+
+    plan2 = ft.create_fft(439, backend="vpu", cache=False)
+    assert isinstance(plan2, MxuFftPlan) and plan2.single_phase
+    # serialize roundtrip (small size so interpret execution is fast)
+    small = VpuBluesteinPlan.create(73)
+    path = str(tmp_path / "fb.npz")
+    save_plan(small, path)
+    loaded = load_plan(path)
+    assert type(loaded) is VpuBluesteinPlan and loaded.size == 73
+    rng = np.random.default_rng(RNG_SEED)
+    x = rng.standard_normal((73, 3)) + 1j * rng.standard_normal((73, 3))
+    a = loaded.transform_planar_bm(
+        x.real.astype(np.float32), x.imag.astype(np.float32)
+    )
+    b = small.transform_planar_bm(
+        x.real.astype(np.float32), x.imag.astype(np.float32)
+    )
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
