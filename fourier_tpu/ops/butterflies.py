@@ -87,7 +87,56 @@ def butterfly8(x: Sequence, forward: bool, ops=cplx) -> List:
     ]
 
 
-BUTTERFLIES = {2: butterfly2, 3: butterfly3, 4: butterfly4, 8: butterfly8}
+def _two_level(x: Sequence, R: int, S: int, forward: bool, ops) -> List:
+    """N = R*S-point DFT as an SxR Cooley-Tukey over the ops vocabulary.
+
+    Same exchange as stockham_vpu._two_level, but parameterized over the
+    complex-ops vocabulary so the dd (double-double) kernels can use it:
+    with j = R*q + r, G_r[k1] = DFT_S over q, then X[k1 + S*k2] = DFT_R
+    over r of (W_N^(r*k1) * G_r[k1]) at k2. W_N twiddles are compile-time
+    f64 constants applied with ops.mul_const.
+    """
+    n = R * S
+    sign = -1.0 if forward else 1.0
+    w = [
+        (math.cos(sign * 2.0 * math.pi * t / n),
+         math.sin(sign * 2.0 * math.pi * t / n))
+        for t in range(n)
+    ]
+    bfS = BUTTERFLIES[S]
+    bfR = BUTTERFLIES[R]
+    g = [bfS([x[R * q + r] for q in range(S)], forward, ops)
+         for r in range(R)]
+    out = [None] * n
+    for k1 in range(S):
+        col = []
+        for r in range(R):
+            t = (r * k1) % n
+            if t == 0:
+                col.append(g[r][k1])
+            else:
+                col.append(ops.mul_const(g[r][k1], w[t][0], w[t][1]))
+        res = bfR(col, forward, ops)
+        for k2 in range(R):
+            out[k1 + S * k2] = res[k2]
+    return out
+
+
+def butterfly9(x: Sequence, forward: bool, ops=cplx) -> List:
+    """9-point DFT as 3x3 Cooley-Tukey (see _two_level)."""
+    return _two_level(x, 3, 3, forward, ops)
+
+
+def butterfly27(x: Sequence, forward: bool, ops=cplx) -> List:
+    """27-point DFT as 9x3 Cooley-Tukey (see _two_level)."""
+    return _two_level(x, 3, 9, forward, ops)
+
+
+BUTTERFLIES = {
+    2: butterfly2, 3: butterfly3, 4: butterfly4, 8: butterfly8,
+}
+BUTTERFLIES[9] = butterfly9
+BUTTERFLIES[27] = butterfly27
 
 
 def apply_butterfly(radix: int, parts: Sequence, forward: bool, ops=cplx) -> List:

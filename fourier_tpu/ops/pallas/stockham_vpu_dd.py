@@ -158,6 +158,18 @@ class _DdOps:
         return a[1], self._dneg(a[0])
 
 
+# Measured round 3 (chained batch-minor, element-fetch sync, b=32768):
+# two-stage in-register schedules win for 243 (28.7 vs 23.2 GF XLA dd) and
+# 729 (26.5 vs 22.4); 2187 as [27, 9, 9] measured 16.2 vs XLA's 31.3 GF
+# (two misaligned 3-based interleave passes) and radix-81 was rejected
+# outright (81 dd values = 324 live f32 planes of register pressure), so
+# 2187 stays on the XLA dd path.
+_POW3_DD_SCHEDULES = {
+    243: (27, 9),
+    729: (27, 27),
+}
+
+
 def radix_schedule_dd(n: int) -> Optional[Sequence[int]]:
     """Stage radices for the dd kernel: n = 2^a*3^b, 8 | n, 64 <= n <= 4096.
 
@@ -181,10 +193,13 @@ def radix_schedule_dd(n: int) -> Optional[Sequence[int]]:
     if pow2 & (pow2 - 1):
         return None
     if pow2 < 8:
-        # Pure 3^b stays on the XLA dd path: an all-radix-3 fused schedule
-        # was measured 3x SLOWER than XLA dd here (round 3: 243 at 10.9 vs
-        # 32.1 GF nominal) — the misaligned 3-based interleaves dominate
-        # even dd's 12x compute multiplier.
+        # Pure 3^b: an all-radix-3 fused schedule measured 3x SLOWER than
+        # XLA dd (round 3: 243 at 10.9 vs 32.1 GF — five misaligned
+        # interleave passes), but TWO-stage in-register 9/27 schedules
+        # (one interleave pass, like the c64 pow3 fix) win at 243/729; see
+        # _POW3_DD_SCHEDULES for the measured table.
+        if pow2 == 1 and n in _POW3_DD_SCHEDULES:
+            return list(_POW3_DD_SCHEDULES[n])
         return None
     sched = []
     m = pow2
@@ -275,6 +290,175 @@ def _kernel(n, schedule, forward, scale, barrier, *refs):
         planes = flat
         size = m
         stride *= r
+
+
+def _stages_value_dd(planes, n, schedule, tws, forward, ops):
+    """Full dd Stockham stage pipeline on four (n, cb) plane VALUES.
+
+    `tws`: per-twiddle-stage 4-tuples of (blk, r) plane values (final stage's
+    all-ones table omitted). The fused Bluestein kernel runs two of these
+    pipelines back to back, so unlike :func:`_kernel` there is no direct
+    final-stage store — the caller keeps consuming values.
+    """
+    cb = planes[0].shape[-1]
+    ntw = len(schedule) - 1
+    size = n
+    stride = 1
+    for s, r in enumerate(schedule):
+        m = size // r
+        blk = m * stride
+        parts = [
+            (
+                (planes[0][k * blk:(k + 1) * blk],
+                 planes[1][k * blk:(k + 1) * blk]),
+                (planes[2][k * blk:(k + 1) * blk],
+                 planes[3][k * blk:(k + 1) * blk]),
+            )
+            for k in range(r)
+        ]
+        outs = apply_butterfly(r, parts, forward, ops=ops)
+        if s < ntw:
+            t4 = tws[s]
+            for k in range(1, r):
+                tk = tuple(t[:, k].reshape(blk, 1) for t in t4)
+                outs[k] = ops.mul(outs[k], ((tk[0], tk[1]), (tk[2], tk[3])))
+        flat = []
+        for plane_i in range(4):
+            sel = lambda o: o[plane_i // 2][plane_i % 2]
+            if stride == 1:
+                st = jnp.stack([sel(o) for o in outs], axis=1)
+            else:
+                st = jnp.stack(
+                    [sel(o).reshape(m, stride, cb) for o in outs], axis=1
+                )
+            flat.append(st.reshape(n, cb))
+        planes = flat
+        size = m
+        stride *= r
+    return planes
+
+
+def _bluestein_kernel_dd(n, m_inner, schedule, scale, barrier, *refs):
+    """Fully-fused dd Bluestein chirp-z over four (n, CB) planes.
+
+    The dd twin of :func:`stockham_vpu._bluestein_kernel`: chirp multiply ->
+    zero-pad to m_inner -> forward dd stages -> w multiply -> inverse dd
+    stages (1/M folded into the output chirp at plan time) -> chirp multiply
+    (+ mode scale) -> store, all VMEM-resident. Fusing matters ~10x more for
+    dd than c64: the composed path's six dispatches each move FOUR planes
+    through HBM.
+
+    Ref order: fwd stage tables (4*ntw), inv stage tables (4*ntw), xt (4,
+    (n,1)), wt (4, (m_inner,1)), xt_out (4, (n,1), includes 1/M), input
+    planes (4), output planes (4).
+    """
+    ops = _DdOps(barrier)
+    ntw = len(schedule) - 1
+    fwd_tws = [
+        tuple(refs[4 * s + j][...] for j in range(4)) for s in range(ntw)
+    ]
+    off = 4 * ntw
+    inv_tws = [
+        tuple(refs[off + 4 * s + j][...] for j in range(4))
+        for s in range(ntw)
+    ]
+    off = 8 * ntw
+    xt = tuple(refs[off + j][...] for j in range(4))
+    wt = tuple(refs[off + 4 + j][...] for j in range(4))
+    xo = tuple(refs[off + 8 + j][...] for j in range(4))
+    x_refs = refs[off + 12: off + 16]
+    out_refs = refs[off + 16:]
+    planes = [r_[...] for r_ in x_refs]
+    cb = planes[0].shape[-1]
+    as_val = lambda p4: ((p4[0], p4[1]), (p4[2], p4[3]))
+    as_p4 = lambda v: [v[0][0], v[0][1], v[1][0], v[1][1]]
+    # chirp multiply ((n,1) tables broadcast over (n, cb)) + zero-pad
+    v = ops.mul(as_val(planes), as_val(xt))
+    zeros = jnp.zeros((m_inner - n, cb), jnp.float32)
+    p4 = [jnp.concatenate([p, zeros], axis=0) for p in as_p4(v)]
+    # inner forward FFT
+    p4 = _stages_value_dd(p4, m_inner, schedule, fwd_tws, True, ops)
+    # w multiply
+    p4 = as_p4(ops.mul(as_val(p4), as_val(wt)))
+    # inner inverse FFT (unscaled; 1/M lives in xo)
+    p4 = _stages_value_dd(p4, m_inner, schedule, inv_tws, False, ops)
+    # final chirp multiply (+ mode scale) on the first n rows
+    v = ops.mul(as_val([p[:n] for p in p4]), as_val(xo))
+    if scale is not None:
+        v = ops.scale(v, scale)
+    for ref, val in zip(out_refs, as_p4(v)):
+        ref[...] = val
+
+
+def vpu_dd_bluestein_batch_minor(
+    rh, rl, ih, il,
+    n: int,
+    m_inner: int,
+    stage_tables,
+    chirp_tables,
+    scale: Optional[float],
+    *,
+    cb: int = 128,
+    interpret: bool = False,
+    vmem_limit_bytes: Optional[int] = None,
+):
+    """Fused dd Bluestein FFT over batch-minor 4-plane data of shape (n, B).
+
+    `stage_tables` = (fwd_tables, inv_tables) for m_inner (from
+    :func:`make_stage_tables_dd`); `chirp_tables` = (xt, wt, xt_out), each a
+    4-tuple of f32 planes of shapes (n,1)/(m_inner,1)/(n,1), direction-
+    matched, with 1/m_inner folded into xt_out. B must be a multiple of cb.
+    """
+    schedule = radix_schedule_dd(m_inner)
+    assert schedule is not None, m_inner
+    b = rh.shape[-1]
+    assert b % cb == 0, (b, cb)
+    grid = (b // cb,)
+    io = pl.BlockSpec((n, cb), lambda i: (0, i), memory_space=_VMEM)
+    const_specs = []
+    const_args = []
+    fwd_tables, inv_tables = stage_tables
+    for tbl in (fwd_tables, inv_tables):
+        for t4 in tbl:
+            shp = np.asarray(t4[0]).shape
+            const_specs += [
+                pl.BlockSpec(shp, lambda i: (0, 0), memory_space=_VMEM)
+            ] * 4
+            const_args += [jnp.asarray(t) for t in t4]
+    for t4 in chirp_tables:
+        shp = np.asarray(t4[0]).shape
+        const_specs += [
+            pl.BlockSpec(shp, lambda i: (0, 0), memory_space=_VMEM)
+        ] * 4
+        const_args += [jnp.asarray(t) for t in t4]
+    out_shape = [jax.ShapeDtypeStruct((n, b), jnp.float32)] * 4
+    kern = functools.partial(
+        _bluestein_kernel_dd, n, m_inner, tuple(schedule), scale,
+        bool(interpret),
+    )
+    flops = int(12 * (2 * 5 * m_inner * np.log2(m_inner) + 18 * n) * b)
+    n_consts = len(const_args)
+    kw = {}
+    if vmem_limit_bytes and pltpu is not None and not interpret:
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit_bytes)
+        )
+    outs = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=const_specs + [io, io, io, io],
+        out_specs=[io, io, io, io],
+        out_shape=out_shape,
+        input_output_aliases={
+            n_consts: 0, n_consts + 1: 1, n_consts + 2: 2, n_consts + 3: 3
+        },
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=n * b * 32, transcendentals=0
+        ),
+        **kw,
+    )(*const_args, rh, rl, ih, il)
+    return outs
 
 
 def vpu_dd_fft_batch_minor(

@@ -151,12 +151,29 @@ def _create_dd(size: int):
     from fourier_tpu.precision import DdFftPlan
 
     if jax.default_backend() == "tpu":
+        from fourier_tpu.precision.dd_split import DdSplitPow2Plan
         from fourier_tpu.precision.vpu_dd_plan import VpuDdFftPlan
 
         plan = VpuDdFftPlan.create(size)
         if plan is not None:
             return plan
-        inner_factory = lambda m: VpuDdFftPlan.create(m) or DdFftPlan(m)
+        # Even sizes just above the fused kernel's VMEM cap (6144..16384):
+        # radix-2 DIT split over a batched fused half beats the XLA dd
+        # Stockham — and 8192 is the Bluestein inner for n in (2048, 4096].
+        plan = DdSplitPow2Plan.create(size)
+        if plan is not None:
+            return plan
+        # Split-less sizes whose Bluestein inner has a fused dd schedule
+        # (inner <= 2048, i.e. n <= 1024): one-kernel fused chirp-z pipeline,
+        # measured +6-11% over the composed path (dd_bluestein.MAX_INNER).
+        from fourier_tpu.precision.dd_bluestein import VpuDdBluesteinPlan
+
+        plan = VpuDdBluesteinPlan.create(size)
+        if plan is not None:
+            return plan
+        inner_factory = lambda m: (
+            VpuDdFftPlan.create(m) or DdSplitPow2Plan.create(m) or DdFftPlan(m)
+        )
         return DdFftPlan(size, inner_factory=inner_factory)
     return DdFftPlan(size)
 

@@ -39,7 +39,9 @@ def _plan_registry():
     from fourier_tpu.plan.four_step_local import FourStepLocalPlan
     from fourier_tpu.plan.mxu import MxuFftPlan
     from fourier_tpu.plan.vpu import VpuFftPlan
+    from fourier_tpu.precision.dd_bluestein import VpuDdBluesteinPlan
     from fourier_tpu.precision.dd_plan import DdFftPlan
+    from fourier_tpu.precision.dd_split import DdSplitPow2Plan
     from fourier_tpu.precision.vpu_dd_plan import VpuDdFftPlan
     from fourier_tpu.rfft import RfftPlan
 
@@ -53,6 +55,8 @@ def _plan_registry():
             VpuFftPlan,
             VpuBluesteinPlan,
             DdFftPlan,
+            DdSplitPow2Plan,
+            VpuDdBluesteinPlan,
             VpuDdFftPlan,
             FourStepPlan,
             Fft2dPlan,

@@ -31,6 +31,7 @@ import pytest  # noqa: E402
 # (pre-commit / CI) runs everything. Patterns match test nodeid prefixes.
 _SLOW_PATTERNS = (
     "test_vpu_dd.py",
+    "test_dd_split.py::test_split_vs_oracle",
     "test_sharded.py",
     "test_vpu.py::test_vpu_modes",
     "test_dct.py::test_dct_dd_lane",

@@ -52,10 +52,18 @@ def test_schedule_products():
         assert all(r in (2, 3, 4, 8) for r in sched)
 
 
-@pytest.mark.parametrize("n", [32, 48, 81, 243, 100, 6144, 8192, 16384, 12])
+@pytest.mark.parametrize("n", [32, 48, 81, 2187, 100, 6144, 8192, 16384, 12])
 def test_schedule_rejects(n):
-    # <64, >4096 (VMEM: see radix_schedule_dd), pow2 part < 8, not 2^a*3^b.
+    # <64, >4096 (VMEM: see radix_schedule_dd), pow2 part < 8 (except the
+    # measured pow3 wins 243/729), not 2^a*3^b; 2187's three-stage schedule
+    # measured slower than XLA dd and stays rejected.
     assert kern.radix_schedule_dd(n) is None
+
+
+def test_schedule_pow3():
+    # Measured two-stage in-register schedules (round 3): one interleave pass.
+    assert list(kern.radix_schedule_dd(243)) == [27, 9]
+    assert list(kern.radix_schedule_dd(729)) == [27, 27]
 
 
 # ---------------------------------------------------------------------------
@@ -63,7 +71,7 @@ def test_schedule_rejects(n):
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.parametrize("n", [64, 96, 128, 384, 512, 1536])
+@pytest.mark.parametrize("n", [64, 96, 128, 243, 384, 512, 729, 1536])
 @pytest.mark.parametrize("mode", [Transform.FFT, Transform.IFFT])
 def test_vpu_dd_vs_oracle(n, mode):
     rng = np.random.default_rng(RNG_SEED + n)
