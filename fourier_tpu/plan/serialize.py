@@ -40,6 +40,7 @@ def _plan_registry():
     from fourier_tpu.plan.mxu import MxuFftPlan
     from fourier_tpu.plan.vpu import VpuFftPlan
     from fourier_tpu.precision.dd_bluestein import VpuDdBluesteinPlan
+    from fourier_tpu.precision.dd_mxu import DdMxuDirectPlan
     from fourier_tpu.precision.dd_plan import DdFftPlan
     from fourier_tpu.precision.dd_split import DdSplitPow2Plan
     from fourier_tpu.precision.vpu_dd_plan import VpuDdFftPlan
@@ -57,6 +58,7 @@ def _plan_registry():
             DdFftPlan,
             DdSplitPow2Plan,
             VpuDdBluesteinPlan,
+            DdMxuDirectPlan,
             VpuDdFftPlan,
             FourStepPlan,
             Fft2dPlan,

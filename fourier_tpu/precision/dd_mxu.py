@@ -1,0 +1,291 @@
+"""MXU direct dd DFT: c128 transforms as error-free 8-bit-sliced matmuls.
+
+The TPU answer to "double precision on a bf16 matrix engine": a c128 DFT of
+size n is ONE dense (B, n) x (n, n) contraction — exactly where the MXU's
+systolic array is fastest — but the MXU multiplies bf16 and accumulates f32,
+which on its own is ~2^-8 accurate. This plan reaches dd (~2^-47) accuracy by
+an Ozaki-style error-free decomposition:
+
+* every dd operand (48-bit significand) is cut into ``NCHUNKS`` fixed-point
+  chunks of ``BITS`` bits: c_j is a multiple of 2^-BITS*(j+1) with
+  |c_j * 2^BITS*(j+1)| <= 2^(BITS-1) — each chunk is EXACT in bf16 (an
+  8-bit-significand integer times a power of two);
+* a product of two chunks is an integer product <= 2^(2*BITS) scaled by a
+  power of two, and a K-term f32 accumulation of such products is EXACT while
+  K * 2^(2*BITS) <= 2^24 — with BITS=7 that guarantees every n <= 1024 on
+  the accuracy-critical levels;
+* chunk-pair products with the same total level s = j + k share one scale, so
+  each level is one (or a few) exact bf16 matmuls summed in f32, and the
+  ~NCHUNKS level results are recombined with two-sum chains into dd.
+
+Input rows are pre-scaled by a per-row power of two (exact) so |x| < 1, and
+complex multiplication uses Karatsuba (3 real chunk-groups instead of 4:
+x_r*W_r, x_i*W_i, (x_r+x_i)*(W_r+-W_i)/2). Levels are truncated at
+``MAXLEVEL`` = 6 (49 bits covered); measured rel-L2 vs the f64 oracle is
+<= 6.4e-14 across random, coherent (all-ones), spike, and wide-dynamic-range
+inputs at n up to 2000.
+
+**Measured verdict (round 3, real chip, suite batches): NOT the default.**
+The scheme is numerically sound and the MXU runs its stacked bf16 dots at
+~40 TFLOP/s, but direct-DFT spends ~(168n / 60*log2 n) times the hardware
+flops of the fused dd FFT kernels (~86x at n=243), while the chip's
+MXU-to-VPU rate advantage is only ~47x (40 TF vs the ~0.85 T-dd-ops the VPU
+paths sustain). Head-to-head: n=125 43.8 vs 48.4 GF (fused dd Bluestein),
+n=243 30.9 vs 32.7 (fused dd kernel), n=625 31.6 vs 34.3 — parity at 125
+(where the ratios cross) and a loss above, exactly as the ratio model
+predicts. Kept as a registered, serializable plan class: it is the only dd
+family whose cost is independent of n's factorization, and a chip with a
+faster matmul-to-VPU ratio flips the verdict.
+
+Reference parity: the same c128 surface as ``create_fft_f64``
+(``fourier/src/lib.rs:49-60``); the decomposition itself has no reference
+counterpart — it exists because this chip has no f64 and its MXU dwarfs its
+VPU on paper (docs/DESIGN.md).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fourier_tpu.precision import ddcplx, ddreal
+from fourier_tpu.transform import Transform
+
+#: Fixed-point chunk width. 7 bits keeps every chunk-product integer below
+#: 2^13, so f32 accumulation is exact for K = n up to 2^24/2^13 = 2048.
+BITS = 7
+#: ceil(48 / BITS): chunks to cover a dd significand.
+NCHUNKS = 7
+#: Highest chunk-pair level kept: j + k <= 6 covers BITS*(MAXLEVEL+2) = 56
+#: bits before truncation; the dropped tail is ~2^-49 relative per element.
+MAXLEVEL = 6
+
+
+def _chunk_table_f64(w: np.ndarray):
+    """Plan-time fixed-point chunks of an f64 table with |w| <= 1.
+
+    Exact in f64 throughout; each chunk is returned as f32 (exact: 7-bit
+    integers times powers of two; also exact in bf16 at trace time).
+    """
+    chunks = []
+    r = np.asarray(w, dtype=np.float64)
+    for j in range(NCHUNKS):
+        scale = 2.0 ** (BITS * (j + 1))
+        c = np.round(r * scale) / scale
+        r = r - c
+        chunks.append(c.astype(np.float32))
+    return tuple(chunks)
+
+
+def _chunks_dd(hi, lo, xp):
+    """Trace-time fixed-point chunks of a dd (hi, lo) value with |x| < 1.
+
+    Every step is exact f32 arithmetic (multiplications by powers of two,
+    round-to-nearest-even, Sterbenz-safe subtractions) except the single lo
+    fold-in, whose f32 rounding is ~2^-47 absolute. No XLA simplifier or fma
+    pattern applies to round(); no opacity barriers are needed.
+    """
+    chunks = []
+    r = hi
+    carried = False
+    for j in range(NCHUNKS):
+        if not carried and (j + 1) * BITS > 24:
+            # hi's 24 significand bits are exhausted mid-chunk: fold lo in
+            # BEFORE the straddling chunk so its bits land in this chunk.
+            r = r + lo
+            carried = True
+        scale = np.float32(2.0 ** (BITS * (j + 1)))
+        inv = np.float32(2.0 ** (-BITS * (j + 1)))
+        c = xp.round(r * scale) * inv
+        r = r - c
+        chunks.append(c)
+    return chunks
+
+
+def _next_pow2_scale(rh, ih, xp):
+    """Per-row (s, 1/s): the smallest power of two STRICTLY above the row max.
+
+    Exact powers of two via ldexp; strict bound keeps |x/s| < 1 so chunk 0
+    stays within 7 bits (the |x| == s edge would need 2^BITS-1 + 1).
+    """
+    m = xp.maximum(
+        xp.max(xp.abs(rh), axis=-1, keepdims=True),
+        xp.max(xp.abs(ih), axis=-1, keepdims=True),
+    )
+    m = xp.maximum(m, np.float32(1e-30))
+    e = xp.floor(jnp.log2(m)).astype(np.int32) + 1
+    one = np.float32(1.0)
+    return jnp.ldexp(one, e), jnp.ldexp(one, -e)
+
+
+class _Groups:
+    """Chunked twiddle tables: U = W_re, V = W_im, S = (U+V)/2, D = (U-V)/2.
+
+    Forward Karatsuba uses (U, V, S); inverse (conj W) uses (U, -V, D) — the
+    V negation is applied to the level sums (negation of every chunk is
+    exact), so four chunk-sets serve both directions.
+    """
+
+    __slots__ = ("u", "v", "s", "d")
+
+    def __init__(self, u, v, s, d):
+        self.u, self.v, self.s, self.d = u, v, s, d
+
+
+@jax.tree_util.register_pytree_node_class
+class DdMxuDirectPlan:
+    """Direct c128 DFT on the MXU via exact 7-bit slicing (any n <= 2048)."""
+
+    dtype = np.dtype(np.complex128)
+    kind = "mxu-dd-direct"
+
+    #: Guaranteed-exactness bound. Chunk 0 can reach 2^BITS (the |x'| -> 1
+    #: and |w| = 1 edges), later chunks stay <= 2^(BITS-1), so level-0/1
+    #: accumulations are exact integers while n * 2^(2*BITS) <= 2^24, i.e.
+    #: n <= 1024; higher levels' f32 rounding sits >= 2^38 below the result.
+    MAX_SIZE = 1024
+    #: Measured performance crossover vs the FFT-based dd plans (round 3);
+    #: the planner consults this, create() only enforces MAX_SIZE.
+    DIRECT_MAX = 1024
+
+    def __init__(self, size, tables):
+        self.size = int(size)
+        self.tables = tables  # _Groups of 4 x NCHUNKS (n, n) f32 arrays
+        self._fallback_plan = None
+
+    @classmethod
+    def create(cls, size: int) -> Optional["DdMxuDirectPlan"]:
+        if size < 2 or size > cls.MAX_SIZE:
+            return None
+        j = np.arange(size, dtype=np.float64)
+        ang = 2.0 * np.pi * np.outer(j, j) / float(size)
+        u = np.cos(ang)
+        v = -np.sin(ang)  # forward kernel exp(-2*pi*i*j*k/n)
+        tables = _Groups(
+            _chunk_table_f64(u),
+            _chunk_table_f64(v),
+            _chunk_table_f64((u + v) / 2.0),
+            _chunk_table_f64((u - v) / 2.0),
+        )
+        return cls(size, tables)
+
+    # -- execution -----------------------------------------------------------
+
+    def _group_levels(self, chunks, table):
+        """Level sums S_s = sum_{j+k=s} A_j @ C_k, f32, s = 0..MAXLEVEL.
+
+        Each level is ONE stacked contraction: A chunks 0..s concatenated on
+        the K axis against the constant stack [C_s; ...; C_0], K = (s+1)*n —
+        larger-K matmuls run the MXU markedly faster than (s+1) separate
+        K=n dots (measured), and the per-pair partial arrays never
+        materialize. Same-scale products keep the f32 accumulation exact on
+        the accuracy-critical levels (0 and 1) for every n <= MAX_SIZE.
+        """
+        ctabs = [jnp.asarray(t).astype(jnp.bfloat16) for t in table]
+        a_full = jnp.concatenate(
+            [c.astype(jnp.bfloat16) for c in chunks], axis=-1
+        )  # (B, NCHUNKS*n), one relayout for all levels
+        n = self.size
+        levels = []
+        for lev in range(MAXLEVEL + 1):
+            cstack = jnp.concatenate(
+                [ctabs[lev - j] for j in range(lev + 1)], axis=0
+            )  # constant-folded at compile time
+            p = jax.lax.dot_general(
+                a_full[:, : (lev + 1) * n], cstack,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            levels.append(p)
+        return levels
+
+    @staticmethod
+    def _combine_levels(levels, negate=False):
+        """two-sum chain over the (strictly scale-ordered) level arrays."""
+        if negate:
+            levels = [-L for L in levels]
+        hi = levels[0]
+        lo = jnp.zeros_like(hi)
+        for L in levels[1:]:
+            hi, e = ddreal.two_sum(hi, L)
+            lo = lo + e
+        return ddreal.quick_two_sum(hi, lo)
+
+    def _apply_dd(self, value, transform: Transform):
+        """((rh, rl), (ih, il)) planes of shape (..., n) — DdFftPlan API."""
+        transform = Transform(transform)
+        (rh, rl), (ih, il) = value
+        if isinstance(rh, np.ndarray):
+            return self._fallback()._apply_dd(value, transform)
+        forward = transform.is_forward
+        scale = transform.scale(self.size)
+        xp = jnp
+        rh, rl, ih, il = (jnp.asarray(p) for p in (rh, rl, ih, il))
+
+        s, inv_s = _next_pow2_scale(rh, ih, xp)
+        xr = (rh * inv_s, rl * inv_s)  # exact power-of-two scaling
+        xi = (ih * inv_s, il * inv_s)
+        half = np.float32(0.5)
+        sm = ddreal.add(xr, xi)
+        xs = (sm[0] * half, sm[1] * half)  # exact power-of-two scaling
+
+        t = self.tables
+        a_r = _chunks_dd(*xr, xp)
+        a_i = _chunks_dd(*xi, xp)
+        a_s = _chunks_dd(*xs, xp)
+        p1 = self._combine_levels(self._group_levels(a_r, t.u))
+        # inverse = conj(W): V -> -V, S -> D; chunk negation is exact, so the
+        # sign is applied to the level sums instead of a second V table.
+        p2 = self._combine_levels(self._group_levels(a_i, t.v), negate=not forward)
+        p3 = self._combine_levels(
+            self._group_levels(a_s, t.s if forward else t.d)
+        )
+
+        yr = ddreal.sub(p1, p2)
+        four = np.float32(4.0)
+        yi = ddreal.sub((p3[0] * four, p3[1] * four), ddreal.add(p1, p2))
+        out = ((yr[0] * s, yr[1] * s), (yi[0] * s, yi[1] * s))
+        if scale is not None:
+            out = ddcplx.scale(out, scale)
+        return out
+
+    # -- DdFftPlan-compatible conveniences ------------------------------------
+
+    def transform_planar_dd(self, re_hi, re_lo, im_hi, im_lo,
+                            transform: Transform = Transform.FFT):
+        value = ((re_hi, re_lo), (im_hi, im_lo))
+        (rh, rl), (ih, il) = self._apply_dd(value, Transform(transform))
+        return rh, rl, ih, il
+
+    def transform(self, x, transform: Transform = Transform.FFT) -> np.ndarray:
+        """complex128 numpy convenience (exact host split/recombine)."""
+        return self._fallback().transform(x, transform)
+
+    def fft(self, x):
+        return self.transform(x, Transform.FFT)
+
+    def ifft(self, x):
+        return self.transform(x, Transform.IFFT)
+
+    def _fallback(self):
+        if self._fallback_plan is None:
+            from fourier_tpu.precision.dd_plan import DdFftPlan
+
+            self._fallback_plan = DdFftPlan(self.size)
+        return self._fallback_plan
+
+    def __repr__(self):
+        return f"DdMxuDirectPlan(size={self.size})"
+
+    # -- pytree ----------------------------------------------------------------
+
+    def tree_flatten(self):
+        children = (self.tables.u, self.tables.v, self.tables.s, self.tables.d)
+        return children, (self.size,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(aux[0], _Groups(*children))
