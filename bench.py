@@ -20,7 +20,10 @@ jitter and a fixed per-dispatch setup cost, so we chain CHAIN unitary
 (magnitude-preserving) transforms inside one jitted dispatch — measuring the
 steady-state per-transform rate a sustained pipeline sees — and report the
 median of 3 measurement rounds. (Scaling at B=2048: chain 8 -> 816 GF,
-16 -> 1180, 32 -> 1595, 64 -> 1885, 128 -> 1916; B=4096/chain 128 -> ~2180.)
+16 -> 1180, 32 -> 1595, 64 -> 1885, 128 -> 1916. Batch scaling at chain 128
+with the honest element-fetch sync: B=4096 -> 1788, 8192 -> 2023,
+16384 -> 2258 GF — the chained pipeline carries ~95 us of per-iteration
+cost beyond the kernel's 436 us device time, amortized by batch.)
 
 The per-dispatch setup was profiled in round 2 (PROF_r2.json): ~0.4 ms of XLA
 defensive input copies (eliminated by donate_argnums, and absent between
@@ -36,7 +39,10 @@ import time
 import numpy as np
 
 N = 4096
-BATCH = 4096
+# B=16384 amortizes the fixed per-iteration cost of the chained pipeline
+# (measured round 3: B=4096 -> 1788 GF, 8192 -> 2023, 16384 -> 2258; the
+# per-B=4096-slice time converges to the ~436 us kernel device time).
+BATCH = 16384
 CHAIN = 128
 WARMUP = 2
 ITERS = 5

@@ -303,12 +303,11 @@ def run(
             for dkey in dtypes:
                 dtype = np.complex64 if dkey == "c64" else np.complex128
                 b = batch or default_batch(n)
-                if dkey == "c128":
-                    # dd is ~10x work/bytes per lane, but fixed per-call
-                    # overheads dominate small-n rows at small batches
-                    # (measured round 3: dd n=256 kernel rate 2.4x higher at
-                    # b/2 than at b/8); halve rather than divide by 8.
-                    b = max(1024, b // 2)
+                # c128 rows run the SAME batch as c64: dd is ~10x work/bytes
+                # per lane, but fixed per-call and per-iteration costs
+                # dominate small-n rows at reduced batches (measured round 3:
+                # dd n=256 at 123 GF with b/8, 199 at b/2, 244 at full b) and
+                # the 4-plane footprint still fits HBM at every suite size.
                 for forward in (True, False):
                     row = {
                         "family": family,
