@@ -157,6 +157,9 @@ class VpuDdBluesteinPlan:
     def ifft(self, x):
         return self.transform(x, Transform.IFFT)
 
+    def __call__(self, x, transform: Transform = Transform.FFT):
+        return self.transform(x, transform)
+
     def _fallback(self):
         if self._fallback_plan is None:
             from fourier_tpu.precision.dd_plan import DdFftPlan

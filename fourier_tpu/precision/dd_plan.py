@@ -207,6 +207,9 @@ class DdFftPlan:
     def ifft(self, x):
         return self.transform(x, Transform.IFFT)
 
+    def __call__(self, x, transform: Transform = Transform.FFT):
+        return self.transform(x, transform)
+
     def __repr__(self):
         return f"DdFftPlan(size={self.size}, kind={self.kind})"
 

@@ -199,3 +199,17 @@ def test_dd_roundtrip():
     x = _rand(n, rng)
     back = plan.ifft(plan.fft(x))
     assert np.max(np.abs(back - x)) < 1e-12
+
+
+@pytest.mark.parametrize("n", [64, 73, 125, 1024])
+def test_dd_plans_are_callable(n):
+    """Every dd plan family supports plan(x) like the c64 FftPlan base
+    (plan/base.py:95) — uniform call surface across dtypes."""
+    rng = np.random.default_rng(RNG_SEED + n)
+    x = _rand(n, rng)
+    plan = ft.create_fft_f64(n)
+    got = plan(x)
+    want = plan.fft(x)
+    assert np.array_equal(got, want)
+    inv = plan(x, Transform.IFFT)
+    assert np.array_equal(inv, plan.ifft(x))
