@@ -145,6 +145,58 @@ def mul_f32(x: DD, c: float) -> DD:
     return quick_two_sum(p, e)
 
 
+def is_pow2_scalar(c: float) -> bool:
+    """True when f32(c) is a (signed) power of two — dd-exact to scale by."""
+    c = float(np.float32(c))
+    if c == 0.0 or not np.isfinite(c):
+        return False
+    import math
+
+    return math.frexp(c)[0] in (0.5, -0.5)
+
+
+def scale_pow2(x: DD, c: float) -> DD:
+    """Multiply by a power-of-two scalar: exact, two multiplies, no EFT."""
+    return x[0] * c, x[1] * c
+
+
+def mul_dd_const(x: DD, c) -> DD:
+    """Multiply a dd value by a compile-time f64 scalar, given as its dd
+    split ``c = (ch, cl)`` (:func:`const`).
+
+    One Dekker product against ``ch`` (whose Veltkamp split is precomputed
+    host-side), with the ``x0*cl`` and ``x1*ch`` cross terms folded into the
+    error limb.  The dropped ``x1*cl`` term and the error-limb roundings are
+    all O(u^2)*|x*c| — the same accuracy class as composing
+    ``add(mul_f32(x, ch), mul_f32(x, cl))`` at roughly half the VPU ops
+    (one EFT product + one fast2sum instead of two products + a full dd add).
+
+    .. warning:: NOT safe under XLA:CPU's multi-threaded partitioned fusion
+       emitter (``backend_config outer_dimension_partitions``, seen with
+       ``--xla_force_host_platform_device_count=8``): measured rel-L2
+       5e-15 -> 1e-8 in a fused FFT stage with the optimized HLO
+       *bit-identical* to the correct single-threaded compile, insensitive
+       to ``reduce_precision``/``optimization_barrier`` placement — the
+       breakage is below HLO, in codegen.  Use only on the eager numpy
+       path or under Mosaic, where it measures exact
+       (``stockham_vpu_dd._DdOps._dmul_dd_const``, on-chip rel-L2 5.6e-15).
+       ``ddcplx.mul_const`` keeps the two-product composition for traced
+       XLA code.
+    """
+    ch, cl = c
+    chh, chl = _split_scalar_f32(ch)
+    # materialize the limbs once: x0 feeds four consumers and XLA:CPU fusion
+    # can otherwise re-materialize an unrounded compound x0 per consumer with
+    # different fma contraction, breaking the Dekker invariant (measured
+    # under --xla_force_host_platform_device_count=8; stockham_vpu_dd twin)
+    x0, x1 = _opaque(x[0]), _opaque(x[1])
+    p = _opaque(x0 * ch)
+    ah, al = veltkamp_split(x0)
+    e = ((_opaque(ah * chh) - p) + _opaque(ah * chl) + _opaque(al * chh)) + al * chl
+    e = e + (x0 * cl + x1 * ch)
+    return quick_two_sum(p, e)
+
+
 def from_f64(a: np.ndarray, dtype=np.float32) -> DD:
     """Split f64 numpy data into an exact (hi, lo) f32 pair (plan time)."""
     a = np.asarray(a, dtype=np.float64)

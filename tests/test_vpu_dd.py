@@ -174,8 +174,15 @@ def test_planner_dd_tpu_resolution(monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     plan = planner._create_dd(512)
     assert isinstance(plan, VpuDdFftPlan)
-    comp = planner._create_dd(100)  # not 8|2^a*3^b: Bluestein, inner m=256
-    assert isinstance(comp, DdFftPlan) and isinstance(comp.inner, VpuDdFftPlan)
+    # not 8|2^a*3^b: small enough for the one-kernel fused dd Bluestein
+    # (inner m=256 <= MAX_INNER); larger off-family sizes compose a
+    # DdFftPlan Bluestein around a fused inner.
+    from fourier_tpu.precision.dd_bluestein import VpuDdBluesteinPlan
+
+    comp = planner._create_dd(100)
+    assert isinstance(comp, VpuDdBluesteinPlan)
+    big = planner._create_dd(1418)  # inner m=4096: above the fused
+    assert isinstance(big, DdFftPlan)  # Bluestein ceiling -> composed plan
 
 
 def test_planner_dd_cpu_resolution():
