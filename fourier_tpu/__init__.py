@@ -34,7 +34,8 @@ from fourier_tpu.plan import (
 from fourier_tpu.plan.serialize import load_plan, plan_to_bytes, save_plan
 from fourier_tpu.plan.summary import describe, summarize
 from fourier_tpu.ndim import NdFftPlan, fft2, fftn, ifft2, ifftn
-from fourier_tpu.dctdst import dct, dst, idct, idst
+from fourier_tpu.dctdst import (dct, dctn, dst, dstn, idct, idctn, idst,
+                                idstn)
 from fourier_tpu.rfft import (
     RfftPlan,
     hfft,
@@ -47,7 +48,8 @@ from fourier_tpu.rfft import (
     rfftfreq,
     rfftn,
 )
-from fourier_tpu.signal import fftconvolve, next_fast_len
+from fourier_tpu.signal import (CztPlan, czt, fftconvolve, next_fast_len,
+                                zoom_fft)
 from fourier_tpu.utils.helpers import fftfreq, fftshift, ifftshift
 from fourier_tpu.transform import Transform
 
@@ -119,13 +121,17 @@ __all__ = [
     "create_fft",
     "create_fft_f32",
     "create_fft_f64",
+    "CztPlan",
+    "czt",
     "dct",
+    "dctn",
     "export_compiled",
     "load_compiled",
     "describe",
     "dst",
     "fft",
     "fft2",
+    "dstn",
     "fftconvolve",
     "fftfreq",
     "fftshift",
@@ -135,7 +141,9 @@ __all__ = [
     "ihfft",
     "next_fast_len",
     "idct",
+    "idctn",
     "idst",
+    "idstn",
     "ifft",
     "ifft2",
     "ifft_planar",
@@ -154,6 +162,7 @@ __all__ = [
     "save_plan",
     "summarize",
     "transform",
+    "zoom_fft",
     "transform_planar",
     "__version__",
 ]

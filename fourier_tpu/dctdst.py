@@ -232,3 +232,70 @@ def dst(x, type: int = 2, norm: Optional[str] = None, axis: int = -1):
 def idst(x, type: int = 2, norm: Optional[str] = None, axis: int = -1):
     """Inverse DST (scipy.fft.idst semantics)."""
     return _apply("dst", x, type, norm, axis, inverse=True)
+
+
+# -- N-D separable transforms (scipy.fft.dctn/idctn/dstn/idstn) -------------
+
+
+def _nd_axes_shape(x: np.ndarray, s, axes):
+    """Resolve scipy's (s, axes) convention: s given without axes means the
+    last len(s) axes; s entries pad/truncate the corresponding axis."""
+    if axes is None:
+        axes = (
+            tuple(range(x.ndim)) if s is None
+            else tuple(range(x.ndim - len(s), x.ndim))
+        )
+    else:
+        axes = tuple(int(a) % x.ndim for a in axes)
+        if len(set(axes)) != len(axes):
+            raise ValueError("repeated axis in axes")
+    if s is not None and len(s) != len(axes):
+        raise ValueError("s and axes must have the same length")
+    return axes, s
+
+
+def _resize_axis(x: np.ndarray, axis: int, n: int) -> np.ndarray:
+    cur = x.shape[axis]
+    if n == cur:
+        return x
+    if n < cur:
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(0, n)
+        return x[tuple(sl)]
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, n - cur)
+    return np.pad(x, pad)
+
+
+def _apply_nd(kind: str, x, type: int, s, axes, norm, inverse: bool):
+    x = np.asarray(x)
+    if x.ndim == 0:
+        raise ValueError("dctn/dstn require at least one axis")
+    axes, s = _nd_axes_shape(x, s, axes)
+    if s is not None:
+        for a, n in zip(axes, s):
+            x = _resize_axis(x, a, int(n))
+    for a in axes:
+        x = _apply(kind, x, type, norm, a, inverse)
+    return x
+
+
+def dctn(x, type: int = 2, s=None, axes=None, norm: Optional[str] = None):
+    """N-D DCT over ``axes`` (scipy.fft.dctn semantics: separable 1-D DCTs,
+    ``s`` pads/truncates)."""
+    return _apply_nd("dct", x, type, s, axes, norm, inverse=False)
+
+
+def idctn(x, type: int = 2, s=None, axes=None, norm: Optional[str] = None):
+    """N-D inverse DCT (scipy.fft.idctn semantics)."""
+    return _apply_nd("dct", x, type, s, axes, norm, inverse=True)
+
+
+def dstn(x, type: int = 2, s=None, axes=None, norm: Optional[str] = None):
+    """N-D DST over ``axes`` (scipy.fft.dstn semantics)."""
+    return _apply_nd("dst", x, type, s, axes, norm, inverse=False)
+
+
+def idstn(x, type: int = 2, s=None, axes=None, norm: Optional[str] = None):
+    """N-D inverse DST (scipy.fft.idstn semantics)."""
+    return _apply_nd("dst", x, type, s, axes, norm, inverse=True)

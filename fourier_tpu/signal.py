@@ -163,3 +163,162 @@ def fftconvolve(in1, in2, mode: str = "full",
     inv = np.argsort(order)
     out = np.transpose(out, inv)
     return np.real(out) if real_out else out
+
+
+# -- chirp z-transform (scipy.signal.czt / zoom_fft) -------------------------
+#
+# Beyond-reference surface built on the machinery the reference DOES have:
+# the Bluestein chirp-z factorization (bluesteins.rs:63-131) generalized to
+# arbitrary (m, w, a) — X_k = sum_n x_n (a w^-k)^-n = w^{k^2/2} *
+# conv(x_n a^-n w^{n^2/2}, w^{-j^2/2})_k. The convolution runs at
+# next_fast_len(n+m-1) (2^a 3^b, the fused-kernel family) through the
+# planner's plans; all chirp tables are f64 numpy at plan time (repo
+# convention: no trig inside traces). For the default w (the zoom DFT
+# w = exp(-2i*pi/m)) the quadratic phase is reduced mod 2m in exact integer
+# arithmetic before the f64 trig, so table accuracy does not degrade as
+# j^2 grows (the naive-phase hazard documented in docs/DESIGN.md).
+
+_CZT_CACHE: "OrderedDict" = None  # initialized lazily below
+
+
+def _czt_halfpow(w, q, m: int):
+    """w^{q/2} for an integer index array q (values j^2), f64 complex.
+
+    w=None means the default zoom chirp exp(-2i*pi/m): exact integer
+    reduction q mod 2m keeps the phase argument small. Arbitrary w goes
+    through f64 phase/magnitude (scipy-equivalent accuracy).
+    """
+    if w is None:
+        red = np.array([int(t) % (2 * m) for t in q], dtype=np.float64)
+        return np.exp(-1j * np.pi * red / m)
+    w = complex(w)
+    qf = np.asarray(q, dtype=np.float64)
+    out = np.exp(1j * (np.angle(w) * qf / 2.0)).astype(np.complex128)
+    mag = abs(w)
+    if mag != 1.0:
+        out = out * np.power(mag, qf / 2.0)
+    return out
+
+
+class CztPlan:
+    """Chirp z-transform plan: X_k = sum_n x_n (a * w^-k)^-n, k = 0..m-1.
+
+    scipy.signal.CZT analog. Generalizes the Bluestein plan (same three
+    pointwise passes around a fast-size convolution) to arbitrary output
+    count ``m``, ratio ``w`` (default exp(-2i*pi/m) — the DFT/zoom chirp)
+    and starting point ``a``.
+    """
+
+    def __init__(self, n: int, m: Optional[int] = None, w=None, a=1 + 0j,
+                 dtype=np.complex64):
+        from fourier_tpu.plan.planner import create_fft
+
+        self.n = int(n)
+        self.m = self.n if m is None else int(m)
+        if self.n < 1 or self.m < 1:
+            raise ValueError(f"czt needs n >= 1 and m >= 1, got {n}, {m}")
+        self.w = None if w is None else complex(w)
+        self.a = complex(a)
+        self.dtype = np.dtype(dtype)
+        n_, m_ = self.n, self.m
+        L = next_fast_len(n_ + m_ - 1)
+        self.inner_size = L
+        self.inner = create_fft(L, self.dtype)
+        j = np.arange(max(n_, m_), dtype=np.int64)
+        q = (j * j).astype(object)  # exact integer squares
+        half = _czt_halfpow(self.w, q, m_)  # w^{j^2/2}
+        # w^{-j^2/2}: conj only on the unit circle; for |w| != 1 the
+        # reciprocal magnitude matters (conj would flip phase only).
+        if self.w is None or abs(abs(self.w) - 1.0) < 1e-15:
+            half_neg = np.conj(half)
+        else:
+            half_neg = 1.0 / half
+        apow = np.power(self.a, -j[:n_].astype(np.float64))
+        self._u_chirp = (half[:n_] * apow).astype(np.complex128)  # a^-n w^{n^2/2}
+        self._y_chirp = half[:m_].astype(np.complex128)           # w^{k^2/2}
+        v = np.zeros(L, dtype=np.complex128)
+        v[:m_] = half_neg[:m_]                                    # w^{-j^2/2}
+        if n_ > 1:
+            v[L - (n_ - 1):] = half_neg[1:n_][::-1]               # mirror tail
+        self._V = np.fft.fft(v)  # plan-time inner FFT, f64 (bluesteins.rs:46)
+
+    def __call__(self, x, *, axis: int = -1):
+        x = np.asarray(x)
+        cdtype = self.dtype
+        x = np.moveaxis(x, axis, -1).astype(
+            np.complex128 if cdtype == np.complex128 else np.complex64
+        )
+        if x.shape[-1] != self.n:
+            raise ValueError(f"axis length {x.shape[-1]} != plan n {self.n}")
+        u = (x * self._u_chirp.astype(cdtype))
+        pad = [(0, 0)] * (u.ndim - 1) + [(0, self.inner_size - self.n)]
+        u = np.pad(u, pad)
+        U = self.inner.transform(u, Transform.FFT)
+        U = U * self._V.astype(cdtype)
+        conv = self.inner.transform(U, Transform.IFFT)
+        out = conv[..., : self.m] * self._y_chirp.astype(cdtype)
+        return np.moveaxis(out.astype(cdtype), -1, axis)
+
+    def __repr__(self):
+        return (f"CztPlan(n={self.n}, m={self.m}, w={self.w}, a={self.a}, "
+                f"inner={self.inner_size}, dtype={self.dtype.name})")
+
+
+def _czt_cache():
+    global _CZT_CACHE
+    if _CZT_CACHE is None:
+        from collections import OrderedDict
+
+        _CZT_CACHE = OrderedDict()
+    return _CZT_CACHE
+
+
+def czt(x, m: Optional[int] = None, w=None, a=1 + 0j, *, axis: int = -1):
+    """Chirp z-transform (scipy.signal.czt semantics).
+
+    X_k = sum_n x_n z_k^-n over z_k = a * w^-k; default w = exp(-2i*pi/m)
+    makes czt(x) == fft(x). complex64 in -> complex64 out, complex128/f64
+    in -> complex128 (via the double-word path on TPU).
+    """
+    x = np.asarray(x)
+    n = x.shape[axis]
+    m_ = n if m is None else int(m)
+    dtype = (
+        np.complex128
+        if x.dtype in (np.float64, np.complex128) else np.complex64
+    )
+    key = (n, m_, None if w is None else complex(w), complex(a), dtype.__name__)
+    cache = _czt_cache()
+    if key in cache:
+        cache.move_to_end(key)
+        plan = cache[key]
+    else:
+        plan = CztPlan(n, m_, w, a, dtype)
+        cache[key] = plan
+        while len(cache) > 64:
+            cache.popitem(last=False)
+    return plan(x, axis=axis)
+
+
+def zoom_fft(x, fn, m: Optional[int] = None, *, fs=2, endpoint: bool = False,
+             axis: int = -1):
+    """Zoomed DFT over the band ``fn = [f1, f2]`` (scipy.signal.zoom_fft).
+
+    Evaluates the z-transform on ``m`` points of the unit-circle arc from
+    f1 to f2 (sample rate ``fs``); a pure-frequency czt with
+    a = exp(2i*pi*f1/fs), w = exp(-2i*pi*(f2-f1)/((m - endpoint)*fs)).
+    """
+    x = np.asarray(x)
+    n = x.shape[axis]
+    m_ = n if m is None else int(m)
+    if np.isscalar(fn):
+        f1, f2 = 0.0, float(fn)
+    else:
+        f1, f2 = (float(v) for v in fn)
+    fs = float(fs)
+    k = (m_ - 1) if endpoint else m_
+    if k < 1:
+        raise ValueError("zoom_fft needs m >= 2 with endpoint=True")
+    w = np.exp(-2j * np.pi * (f2 - f1) / (k * fs))
+    a = np.exp(2j * np.pi * f1 / fs)
+    return czt(x, m_, w, a, axis=axis)
