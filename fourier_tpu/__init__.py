@@ -48,6 +48,7 @@ from fourier_tpu.rfft import (
     rfftfreq,
     rfftn,
 )
+from fourier_tpu.fftlog import fht, fhtoffset, ifht
 from fourier_tpu.signal import (CztPlan, czt, fftconvolve, next_fast_len,
                                 zoom_fft)
 from fourier_tpu.utils.helpers import fftfreq, fftshift, ifftshift
@@ -133,6 +134,8 @@ __all__ = [
     "fft2",
     "dstn",
     "fftconvolve",
+    "fht",
+    "fhtoffset",
     "fftfreq",
     "fftshift",
     "fft_planar",
@@ -143,6 +146,7 @@ __all__ = [
     "idct",
     "idctn",
     "idst",
+    "ifht",
     "idstn",
     "ifft",
     "ifft2",

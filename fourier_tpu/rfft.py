@@ -548,12 +548,16 @@ def _norm_scale(norm: Optional[str], n: int, forward: bool) -> float:
 
 
 def rfft(x, n: Optional[int] = None, norm: Optional[str] = None,
-         dtype=np.complex64) -> np.ndarray:
+         dtype=None) -> np.ndarray:
     """One-sided FFT of a real array over the last axis (numpy.fft.rfft:
-    ``n`` crops/zero-pads the input, ``norm`` is backward/ortho/forward)."""
+    ``n`` crops/zero-pads the input, ``norm`` is backward/ortho/forward).
+    ``dtype`` defaults to the numpy promotion: f64 input -> complex128
+    (double-word planes on TPU), everything else -> complex64."""
     from fourier_tpu.ndim import _crop_pad_axis
 
     x = np.asarray(x)
+    if dtype is None:
+        dtype = np.complex128 if x.dtype == np.float64 else np.complex64
     if n is not None:
         x = _crop_pad_axis(x, int(n), x.ndim - 1)
     out = _rfft_plan(x.shape[-1], dtype).rfft(x)
@@ -562,10 +566,16 @@ def rfft(x, n: Optional[int] = None, norm: Optional[str] = None,
 
 
 def irfft(x, n: Optional[int] = None, norm: Optional[str] = None,
-          dtype=np.complex64) -> np.ndarray:
+          dtype=None) -> np.ndarray:
     """Inverse of :func:`rfft` (numpy.fft.irfft); ``n`` defaults to even
-    2*(len-1)."""
+    2*(len-1). ``dtype`` defaults to the numpy promotion: complex128 input
+    -> f64 output path, everything else -> complex64."""
     x = np.asarray(x)
+    if dtype is None:
+        dtype = (
+            np.complex128
+            if x.dtype in (np.complex128, np.float64) else np.complex64
+        )
     if n is None:
         n = 2 * (x.shape[-1] - 1)
     plan = _rfft_plan(n, dtype)

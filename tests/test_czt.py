@@ -131,3 +131,50 @@ def test_dctn_s_defaults_last_axes():
     got = ft.dctn(x, 2, s=(3, 5))          # implies axes (1, 2)
     want = sfft.dctn(x, 2, s=(3, 5))
     assert np.linalg.norm(got - want) <= 1e-4 * np.linalg.norm(want)
+
+
+# -- fast Hankel transform (FFTLog) ------------------------------------------
+
+
+@pytest.mark.parametrize("n,mu,bias,offset", [
+    (64, 0.5, 0.0, 0.0),
+    (100, 2.0, 0.0, 0.3),
+    (128, -0.5, 0.1, 0.0),
+    (47, 1.0, -0.2, 0.5),
+])
+def test_fht_vs_scipy(n, mu, bias, offset):
+    dln = 0.1
+    a = RNG.standard_normal((2, n)) * np.exp(-0.05 * np.arange(n))
+    got = ft.fht(a, dln, mu, offset, bias)
+    want = sfft.fht(a, dln, mu, offset=offset, bias=bias)
+    assert np.linalg.norm(got - want) <= 1e-11 * np.linalg.norm(want)
+    gi = ft.ifht(got, dln, mu, offset, bias)
+    wi = sfft.ifht(want, dln, mu, offset=offset, bias=bias)
+    assert np.linalg.norm(gi - wi) <= 1e-11 * np.linalg.norm(wi)
+
+
+def test_fht_roundtrip_low_ringing():
+    n, dln, mu = 128, 0.08, 1.5
+    offset = ft.fhtoffset(dln, mu, 0.0)
+    assert offset == sfft.fhtoffset(dln, mu, initial=0.0, bias=0.0)
+    a = RNG.standard_normal(n) * np.exp(-0.03 * np.arange(n))
+    rt = ft.ifht(ft.fht(a, dln, mu, offset), dln, mu, offset)
+    assert np.linalg.norm(rt - a) <= 1e-10 * np.linalg.norm(a)
+
+
+def test_fht_singular_warns():
+    # bias -3 at mu=0 puts only the numerator gamma at a pole: u_0 = inf
+    # (scipy warns identically for this configuration)
+    with pytest.warns(UserWarning, match="singular"):
+        ft.fht(RNG.standard_normal(16), 0.1, 0.0, 0.0, -3.0)
+
+
+def test_rfft_dtype_inference():
+    # numpy promotion parity: f64 -> complex128, f32 -> complex64
+    a = RNG.standard_normal(32)
+    assert np.asarray(ft.rfft(a)).dtype == np.complex128
+    assert np.asarray(ft.rfft(a.astype(np.float32))).dtype == np.complex64
+    got = np.asarray(ft.rfft(a))
+    assert np.linalg.norm(got - np.fft.rfft(a)) <= 1e-12 * np.linalg.norm(got)
+    back = np.asarray(ft.irfft(got, 32))
+    assert np.linalg.norm(back - a) <= 1e-12
