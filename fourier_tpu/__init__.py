@@ -39,7 +39,11 @@ from fourier_tpu.dctdst import (dct, dctn, dst, dstn, idct, idctn, idst,
 from fourier_tpu.rfft import (
     RfftPlan,
     hfft,
+    hfft2,
+    hfftn,
     ihfft,
+    ihfft2,
+    ihfftn,
     irfft,
     irfft2,
     irfftn,
@@ -141,7 +145,11 @@ __all__ = [
     "fft_planar",
     "fftn",
     "hfft",
+    "hfft2",
+    "hfftn",
     "ihfft",
+    "ihfft2",
+    "ihfftn",
     "next_fast_len",
     "idct",
     "idctn",

@@ -547,17 +547,26 @@ def _norm_scale(norm: Optional[str], n: int, forward: bool) -> float:
     raise ValueError(f"norm must be backward/ortho/forward, got {norm!r}")
 
 
+def _infer_cdtype(x: np.ndarray):
+    """numpy-parity complex dtype promotion for the real/Hermitian family:
+    double-precision input (f64 or c128) -> complex128 (double-word planes on
+    TPU), everything else -> complex64."""
+    return (
+        np.complex128
+        if x.dtype in (np.float64, np.complex128) else np.complex64
+    )
+
+
 def rfft(x, n: Optional[int] = None, norm: Optional[str] = None,
          dtype=None) -> np.ndarray:
     """One-sided FFT of a real array over the last axis (numpy.fft.rfft:
     ``n`` crops/zero-pads the input, ``norm`` is backward/ortho/forward).
-    ``dtype`` defaults to the numpy promotion: f64 input -> complex128
-    (double-word planes on TPU), everything else -> complex64."""
+    ``dtype`` defaults to the numpy promotion (see ``_infer_cdtype``)."""
     from fourier_tpu.ndim import _crop_pad_axis
 
     x = np.asarray(x)
     if dtype is None:
-        dtype = np.complex128 if x.dtype == np.float64 else np.complex64
+        dtype = _infer_cdtype(x)
     if n is not None:
         x = _crop_pad_axis(x, int(n), x.ndim - 1)
     out = _rfft_plan(x.shape[-1], dtype).rfft(x)
@@ -572,10 +581,7 @@ def irfft(x, n: Optional[int] = None, norm: Optional[str] = None,
     -> f64 output path, everything else -> complex64."""
     x = np.asarray(x)
     if dtype is None:
-        dtype = (
-            np.complex128
-            if x.dtype in (np.complex128, np.float64) else np.complex64
-        )
+        dtype = _infer_cdtype(x)
     if n is None:
         n = 2 * (x.shape[-1] - 1)
     plan = _rfft_plan(n, dtype)
@@ -613,11 +619,13 @@ def _c2c_over_leading(y: np.ndarray, ndim: int, dtype, forward: bool):
     return np.moveaxis(yt, 0, -1)
 
 
-def rfftn(x, ndim: Optional[int] = None, dtype=np.complex64,
+def rfftn(x, ndim: Optional[int] = None, dtype=None,
           norm: Optional[str] = None) -> np.ndarray:
     """Real-input N-D FFT over the trailing `ndim` axes (numpy.fft.rfftn):
     one-sided along the last axis, full along the others."""
     x = np.asarray(x)
+    if dtype is None:
+        dtype = _infer_cdtype(x)
     ndim = x.ndim if ndim is None else ndim
     if not 1 <= ndim <= x.ndim:
         raise ValueError(f"ndim={ndim} out of range for rank-{x.ndim} input")
@@ -629,11 +637,13 @@ def rfftn(x, ndim: Optional[int] = None, dtype=np.complex64,
 
 
 def irfftn(x, shape: Optional[Sequence[int]] = None, ndim: Optional[int] = None,
-           dtype=np.complex64, norm: Optional[str] = None) -> np.ndarray:
+           dtype=None, norm: Optional[str] = None) -> np.ndarray:
     """Inverse of :func:`rfftn` (numpy.fft.irfftn). ``shape`` gives the output
     sizes of the transformed axes (its length sets ``ndim``); the default last
     axis is the even size 2*(bins-1)."""
     x = np.asarray(x)
+    if dtype is None:
+        dtype = _infer_cdtype(x)
     if shape is not None:
         ndim = len(shape)
         n_last = int(shape[-1])
@@ -660,13 +670,13 @@ def irfftn(x, shape: Optional[Sequence[int]] = None, ndim: Optional[int] = None,
     return out if s == 1.0 else out * s
 
 
-def rfft2(x, dtype=np.complex64) -> np.ndarray:
+def rfft2(x, dtype=None) -> np.ndarray:
     """2-D real-input FFT over the last two axes (numpy.fft.rfft2)."""
     return rfftn(x, 2, dtype)
 
 
 def irfft2(x, shape: Optional[Sequence[int]] = None,
-           dtype=np.complex64) -> np.ndarray:
+           dtype=None) -> np.ndarray:
     """Inverse of :func:`rfft2` (numpy.fft.irfft2)."""
     if shape is not None and len(shape) != 2:
         raise ValueError("irfft2 shape must have length 2")
@@ -677,13 +687,15 @@ def irfft2(x, shape: Optional[Sequence[int]] = None,
 
 
 def hfft(x, n: Optional[int] = None, norm: Optional[str] = None,
-         dtype=np.complex64) -> np.ndarray:
+         dtype=None) -> np.ndarray:
     """FFT of Hermitian-symmetric input -> real spectrum (numpy.fft.hfft).
 
     ``hfft(a, n) == irfft(conj(a), n) * n``: the roles of time and frequency
     domains swap relative to rfft.
     """
     x = np.asarray(x)
+    if dtype is None:
+        dtype = _infer_cdtype(x)
     if n is None:
         n = 2 * (x.shape[-1] - 1)
     plan = _rfft_plan(n, dtype)
@@ -697,11 +709,62 @@ def hfft(x, n: Optional[int] = None, norm: Optional[str] = None,
     return out if s == 1.0 else out * s
 
 
-def ihfft(x, norm: Optional[str] = None, dtype=np.complex64) -> np.ndarray:
+def ihfft(x, norm: Optional[str] = None, dtype=None) -> np.ndarray:
     """Inverse of :func:`hfft` (numpy.fft.ihfft): real input -> one-sided
     Hermitian spectrum, ``conj(rfft(x)) / n``."""
     x = np.asarray(x)
+    if dtype is None:
+        dtype = _infer_cdtype(x)
     n = x.shape[-1]
     out = np.conj(_rfft_plan(n, dtype).rfft(x)) / n
     s = _norm_scale(norm, n, forward=False)
     return out if s == 1.0 else out * s
+
+
+def hfftn(x, shape: Optional[Sequence[int]] = None,
+          ndim: Optional[int] = None, norm: Optional[str] = None,
+          dtype=None) -> np.ndarray:
+    """N-D FFT of Hermitian-symmetric input -> real output (scipy.fft.hfftn).
+
+    Direction-swapped irfftn: ``hfftn(a, s) == irfftn(conj(a), s) * prod(s)``
+    with the norm applied in the forward direction. ``shape`` gives the real
+    output sizes of the transformed axes (its length sets ``ndim``)."""
+    x = np.asarray(x)
+    if dtype is None:
+        dtype = _infer_cdtype(x)
+    if shape is not None:
+        k = len(shape)
+        total = int(np.prod([int(n) for n in shape]))
+    else:
+        k = x.ndim if ndim is None else ndim
+        n_last = 2 * (x.shape[-1] - 1)
+        total = int(np.prod(x.shape[x.ndim - k:-1], initial=1)) * n_last
+    out = irfftn(np.conj(x), shape=shape, ndim=ndim, dtype=dtype)
+    s = total * _norm_scale(norm, total, forward=True)
+    return out if s == 1.0 else out * s
+
+
+def ihfftn(x, ndim: Optional[int] = None, norm: Optional[str] = None,
+           dtype=None) -> np.ndarray:
+    """Inverse of :func:`hfftn` (scipy.fft.ihfftn): real input -> one-sided
+    Hermitian N-D spectrum, ``conj(rfftn(x)) / prod(transformed sizes)``."""
+    x = np.asarray(x)
+    if dtype is None:
+        dtype = _infer_cdtype(x)
+    k = x.ndim if ndim is None else ndim
+    total = int(np.prod(x.shape[x.ndim - k:]))
+    out = np.conj(rfftn(x, ndim=k, dtype=dtype)) / total
+    s = _norm_scale(norm, total, forward=False)
+    return out if s == 1.0 else out * s
+
+
+def hfft2(x, shape: Optional[Sequence[int]] = None, dtype=None) -> np.ndarray:
+    """2-D Hermitian-input FFT over the last two axes (scipy.fft.hfft2)."""
+    if shape is not None and len(shape) != 2:
+        raise ValueError("hfft2 shape must have length 2")
+    return hfftn(x, shape=shape, ndim=2, dtype=dtype)
+
+
+def ihfft2(x, dtype=None) -> np.ndarray:
+    """Inverse of :func:`hfft2` (scipy.fft.ihfft2)."""
+    return ihfftn(x, ndim=2, dtype=dtype)

@@ -273,3 +273,47 @@ def test_rfft_validation():
         RfftPlan(0)
     with pytest.raises(ValueError):
         irfft(np.zeros(9, np.complex64), n=14)
+
+
+def test_hfftn_ihfftn_vs_scipy():
+    import scipy.fft as sfft
+    from fourier_tpu.rfft import hfft2, hfftn, ihfft2, ihfftn
+
+    rng = np.random.default_rng(RNG_SEED)
+    rel = lambda g, w: np.linalg.norm(np.asarray(g) - w) / np.linalg.norm(w)
+    a = (
+        rng.standard_normal((4, 6, 9)) + 1j * rng.standard_normal((4, 6, 9))
+    ).astype(np.complex64)
+    x = rng.standard_normal((4, 6, 16)).astype(np.float32)
+    for norm in (None, "ortho", "forward"):
+        assert rel(hfftn(a, norm=norm), sfft.hfftn(a, norm=norm)) < 1e-4
+        assert rel(ihfftn(x, norm=norm), sfft.ihfftn(x, norm=norm)) < 1e-5
+    # explicit odd output shape + trailing-axes (ndim) selection
+    assert rel(
+        hfftn(a, shape=(4, 6, 17)), sfft.hfftn(a, s=(4, 6, 17))
+    ) < 1e-4
+    assert rel(
+        hfftn(a, ndim=2), sfft.hfftn(a, axes=(-2, -1))
+    ) < 1e-4
+    assert rel(
+        ihfftn(x, ndim=2), sfft.ihfftn(x, axes=(-2, -1))
+    ) < 1e-5
+    # 2-D wrappers
+    assert rel(hfft2(a[0]), sfft.hfft2(a[0])) < 1e-4
+    assert rel(ihfft2(x[0]), sfft.ihfft2(x[0])) < 1e-5
+    with pytest.raises(ValueError):
+        hfft2(a[0], shape=(4, 6, 8))
+
+
+def test_hfftn_roundtrip_and_dtype_inference():
+    from fourier_tpu.rfft import hfftn, ihfftn, rfft2, rfftn
+
+    rng = np.random.default_rng(RNG_SEED)
+    x = rng.standard_normal((3, 5, 8))  # f64 -> dd (complex128) path
+    spec = ihfftn(x)
+    assert np.asarray(spec).dtype == np.complex128
+    back = hfftn(spec, shape=x.shape)
+    assert np.linalg.norm(np.asarray(back) - x) < 1e-12 * np.linalg.norm(x)
+    # f64 input infers the complex128 path across the N-D real family too
+    assert np.asarray(rfftn(x)).dtype == np.complex128
+    assert np.asarray(rfft2(x.astype(np.float32))).dtype == np.complex64
