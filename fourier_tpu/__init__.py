@@ -54,6 +54,7 @@ from fourier_tpu.rfft import (
 )
 from fourier_tpu.fftlog import fht, fhtoffset, ifht
 from fourier_tpu.signal import (CztPlan, czt, fftconvolve, next_fast_len,
+                                oaconvolve, prev_fast_len,
                                 zoom_fft)
 from fourier_tpu.utils.helpers import fftfreq, fftshift, ifftshift
 from fourier_tpu.transform import Transform
@@ -151,6 +152,8 @@ __all__ = [
     "ihfft2",
     "ihfftn",
     "next_fast_len",
+    "oaconvolve",
+    "prev_fast_len",
     "idct",
     "idctn",
     "idst",

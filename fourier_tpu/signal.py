@@ -165,6 +165,183 @@ def fftconvolve(in1, in2, mode: str = "full",
     return np.real(out) if real_out else out
 
 
+def prev_fast_len(n: int) -> int:
+    """Largest m <= n with m = 2^a * 3^b (scipy.fft.prev_fast_len analog)."""
+    n = int(n)
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    best, p3 = 1, 1
+    while p3 <= n:
+        best = max(best, p3 << ((n // p3).bit_length() - 1))
+        p3 *= 3
+    return best
+
+
+# -- overlap-add convolution (scipy.signal.oaconvolve) ------------------------
+
+
+def _oa_lens(s1: int, s2: int) -> Tuple[int, int]:
+    """Per-axis overlap-add step sizes (in1_step, in2_step).
+
+    scipy.signal's block-size model (_calc_oa_lens): the optimal FFT block
+    for overlap-add with overlap v = min(s1,s2)-1 minimizes
+    (block/(block-v))*log2(block), whose stationary point is the Lambert-W
+    expression below. Only the larger input is split; the smaller rides whole
+    in every block. Returns whole sizes (no split) when splitting cannot win.
+    """
+    if s1 == s2 or s1 == 1 or s2 == 1:
+        return s1, s2
+    swapped = s2 > s1
+    big, small = (s2, s1) if swapped else (s1, s2)
+    overlap = small - 1
+    from scipy.special import lambertw
+
+    opt = -overlap * float(np.real(lambertw(-1 / (2 * np.e * overlap), k=-1)))
+    block = next_fast_len(int(np.ceil(opt)))
+    if block >= big:
+        return s1, s2
+    big_step = block - small + 1
+    return (small, big_step) if swapped else (big_step, small)
+
+
+def _oa_fold(y: np.ndarray, ax_n: int, ax_b: int, advance: int,
+             out_len: int) -> np.ndarray:
+    """Overlap-add the step axis ``ax_n`` into the block axis ``ax_b``
+    (each step shifted ``advance``), cropping the result to ``out_len``."""
+    y = np.moveaxis(y, (ax_n, ax_b), (0, 1))
+    n, bf = y.shape[0], y.shape[1]
+    out = np.zeros(((n - 1) * advance + bf,) + y.shape[2:], y.dtype)
+    for i in range(n):
+        out[i * advance:i * advance + bf] += y[i]
+    return np.moveaxis(out[:out_len], 0, ax_b - 1)
+
+
+def oaconvolve(in1, in2, mode: str = "full",
+               axes: Optional[Sequence[int]] = None,
+               dtype=np.complex64) -> np.ndarray:
+    """Convolve via overlap-add (scipy.signal.oaconvolve semantics).
+
+    Same contract and output as :func:`fftconvolve`; wins when the convolved
+    sizes are very unequal (long signal, short kernel): the long axis is cut
+    into blocks that become a BATCH dimension, so the FFT work runs as many
+    small batched transforms — the fused-kernel sweet spot on TPU — instead
+    of one huge padded transform.
+    """
+    a = np.asarray(in1)
+    b = np.asarray(in2)
+    if a.ndim != b.ndim:
+        raise ValueError("in1 and in2 must have the same rank")
+    if a.ndim == 0:
+        return a * b
+    conv_axes = _norm_axes(a.ndim, axes)
+    for ax in range(a.ndim):
+        if ax not in conv_axes and a.shape[ax] != b.shape[ax]:
+            raise ValueError(
+                f"non-convolved axis {ax} differs: {a.shape[ax]} vs "
+                f"{b.shape[ax]}"
+            )
+    steps = {ax: _oa_lens(a.shape[ax], b.shape[ax]) for ax in conv_axes}
+    if all(
+        steps[ax] == (a.shape[ax], b.shape[ax]) for ax in conv_axes
+    ):
+        # No axis benefits from splitting: plain FFT convolution.
+        return fftconvolve(a, b, mode, axes, dtype)
+
+    # Move convolved axes to the end, then cut each into (nstep, step).
+    order = [ax for ax in range(a.ndim) if ax not in conv_axes] + list(conv_axes)
+    at = np.transpose(a, order)
+    bt = np.transpose(b, order)
+    k = len(conv_axes)
+    nb = a.ndim - k
+
+    def _blocked(x: np.ndarray, which: int) -> np.ndarray:
+        # trailing k axes -> k leading step-count axes + k trailing block axes
+        nsteps, stps = [], []
+        for i, ax in enumerate(conv_axes):
+            st = steps[ax][which]
+            s = x.shape[nb + i]
+            n = -(-s // st)
+            if n * st != s:
+                pad = [(0, 0)] * x.ndim
+                pad[nb + i] = (0, n * st - s)
+                x = np.pad(x, pad)
+            nsteps.append(n)
+            stps.append(st)
+        # Splitting each trailing axis into (n_i, st_i) pairs is a plain
+        # C-order reshape because the axes are contiguous and in order.
+        x = x.reshape(x.shape[:nb] + tuple(
+            v for i in range(k) for v in (nsteps[i], stps[i])
+        ))
+        # interleaved (n_i, st_i) pairs -> all n axes, then all st axes
+        perm = (
+            list(range(nb))
+            + [nb + 2 * i for i in range(k)]
+            + [nb + 2 * i + 1 for i in range(k)]
+        )
+        return np.transpose(x, perm)
+
+    at_blk = _blocked(at, 0)
+    bt_blk = _blocked(bt, 1)
+    block_full = tuple(
+        steps[ax][0] + steps[ax][1] - 1 for ax in conv_axes
+    )
+    fast = tuple(next_fast_len(s) for s in block_full)
+
+    pad_a = [(0, 0)] * (nb + k) + [
+        (0, fast[i] - at_blk.shape[nb + k + i]) for i in range(k)
+    ]
+    pad_b = [(0, 0)] * (nb + k) + [
+        (0, fast[i] - bt_blk.shape[nb + k + i]) for i in range(k)
+    ]
+    at_blk = np.pad(at_blk, pad_a)
+    bt_blk = np.pad(bt_blk, pad_b)
+
+    real_out = not (
+        np.issubdtype(a.dtype, np.complexfloating)
+        or np.issubdtype(b.dtype, np.complexfloating)
+    )
+    dtype = np.dtype(dtype)
+    plan = _nd_plan(fast, dtype)
+    if plan.is_dd or dtype == np.dtype(np.complex128):
+        fa = plan.fft(at_blk.astype(np.complex128))
+        fb = plan.fft(bt_blk.astype(np.complex128))
+        y = np.asarray(plan.ifft(np.asarray(fa) * np.asarray(fb)))
+    else:
+        rt = np.float32
+        ore, oim = _conv_planar(
+            plan,
+            jnp.asarray(np.real(at_blk).astype(rt)),
+            jnp.asarray(np.imag(at_blk).astype(rt)),
+            jnp.asarray(np.real(bt_blk).astype(rt)),
+            jnp.asarray(np.imag(bt_blk).astype(rt)),
+        )
+        y = np.asarray(ore).astype(np.complex64) + 1j * np.asarray(oim)
+
+    # Crop block axes to the true per-block conv length, then overlap-add
+    # each step axis into its block axis (advance = the split side's step).
+    y = y[
+        tuple([slice(None)] * (nb + k) + [slice(0, s) for s in block_full])
+    ]
+    for i in reversed(range(k)):
+        ax = conv_axes[i]
+        st1, st2 = steps[ax]
+        # advance = the step of whichever input was split along this axis
+        # (in1 if it needed more than one step, else in2)
+        advance = st1 if -(-a.shape[ax] // st1) > 1 else st2
+        full_i = a.shape[ax] + b.shape[ax] - 1
+        y = _oa_fold(y, nb + i, nb + 2 * i + 1, advance, full_i)
+
+    sl = [slice(None)] * a.ndim
+    for i, ax in enumerate(conv_axes):
+        sl[nb + i] = _out_slice(
+            mode, a.shape[ax], b.shape[ax],
+            a.shape[ax] + b.shape[ax] - 1,
+        )
+    y = y[tuple(sl)]
+    y = np.transpose(y, np.argsort(order))
+    return np.real(y) if real_out else y
+
+
 # -- chirp z-transform (scipy.signal.czt / zoom_fft) -------------------------
 #
 # Beyond-reference surface built on the machinery the reference DOES have:

@@ -116,3 +116,119 @@ def test_fftconvolve_validation():
 def test_exports():
     assert ft.fftconvolve is fftconvolve
     assert ft.next_fast_len is next_fast_len
+
+
+# -- overlap-add convolution ---------------------------------------------------
+
+
+def test_prev_fast_len():
+    from fourier_tpu.signal import prev_fast_len
+
+    cases = {1: 1, 2: 2, 5: 4, 7: 6, 9: 9, 13: 12, 17: 16, 100: 96,
+             1000: 972, 1025: 1024}
+    for n, want in cases.items():
+        assert prev_fast_len(n) == want, (n, prev_fast_len(n), want)
+    for n in range(1, 500):
+        m = prev_fast_len(n)
+        assert 1 <= m <= n
+        r = m
+        while r % 2 == 0:
+            r //= 2
+        while r % 3 == 0:
+            r //= 3
+        assert r == 1
+    with pytest.raises(ValueError):
+        prev_fast_len(0)
+
+
+@pytest.mark.parametrize("mode", ["full", "same", "valid"])
+def test_oaconvolve_1d_real(mode):
+    from fourier_tpu.signal import oaconvolve
+
+    rng = np.random.default_rng(RNG_SEED)
+    x = rng.standard_normal(4000).astype(np.float32)
+    h = rng.standard_normal(31).astype(np.float32)
+    got = np.asarray(oaconvolve(x, h, mode))
+    want = ss.oaconvolve(x.astype(np.float64), h.astype(np.float64), mode)
+    assert got.dtype.kind == "f"
+    assert got.shape == want.shape
+    assert _rel(got, want) < 1e-5
+
+
+def test_oaconvolve_swapped_and_complex():
+    from fourier_tpu.signal import oaconvolve
+
+    rng = np.random.default_rng(RNG_SEED)
+    # in2 is the long side (the split must land on in2)
+    h = (rng.standard_normal(17) + 1j * rng.standard_normal(17)).astype(
+        np.complex64
+    )
+    x = (rng.standard_normal(3000) + 1j * rng.standard_normal(3000)).astype(
+        np.complex64
+    )
+    got = np.asarray(oaconvolve(h, x))
+    want = ss.oaconvolve(h.astype(np.complex128), x.astype(np.complex128))
+    assert got.dtype.kind == "c"
+    assert _rel(got, want) < 1e-5
+
+
+@pytest.mark.parametrize("mode", ["full", "same"])
+def test_oaconvolve_2d(mode):
+    from fourier_tpu.signal import oaconvolve
+
+    rng = np.random.default_rng(RNG_SEED)
+    x = rng.standard_normal((300, 257)).astype(np.float32)
+    h = rng.standard_normal((7, 5)).astype(np.float32)
+    got = np.asarray(oaconvolve(x, h, mode))
+    want = ss.oaconvolve(x.astype(np.float64), h.astype(np.float64), mode)
+    assert got.shape == want.shape
+    assert _rel(got, want) < 1e-5
+
+
+def test_oaconvolve_batched_axes():
+    from fourier_tpu.signal import oaconvolve
+
+    rng = np.random.default_rng(RNG_SEED)
+    x = rng.standard_normal((3, 2000)).astype(np.float32)
+    h = rng.standard_normal((3, 9)).astype(np.float32)
+    got = np.asarray(oaconvolve(x, h, "full", axes=-1))
+    want = ss.oaconvolve(
+        x.astype(np.float64), h.astype(np.float64), "full", axes=-1
+    )
+    assert got.shape == want.shape
+    assert _rel(got, want) < 1e-5
+
+
+def test_oaconvolve_equal_sizes_falls_back():
+    from fourier_tpu.signal import fftconvolve, oaconvolve
+
+    rng = np.random.default_rng(RNG_SEED)
+    x = rng.standard_normal(128).astype(np.float32)
+    h = rng.standard_normal(128).astype(np.float32)
+    got = np.asarray(oaconvolve(x, h))
+    want = np.asarray(fftconvolve(x, h))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
+
+
+def test_oaconvolve_c128():
+    from fourier_tpu.signal import oaconvolve
+
+    rng = np.random.default_rng(RNG_SEED)
+    x = rng.standard_normal(2500)
+    h = rng.standard_normal(21)
+    got = np.asarray(oaconvolve(x, h, dtype=np.complex128))
+    want = ss.oaconvolve(x, h)
+    assert _rel(got, want) < 1e-12
+
+
+def test_oaconvolve_validation():
+    from fourier_tpu.signal import oaconvolve
+
+    with pytest.raises(ValueError):
+        oaconvolve(np.zeros((2, 3), np.float32), np.zeros(3, np.float32))
+    with pytest.raises(ValueError):
+        oaconvolve(
+            np.zeros((2, 100), np.float32),
+            np.zeros((3, 5), np.float32),
+            axes=-1,
+        )
