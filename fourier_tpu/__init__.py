@@ -56,6 +56,7 @@ from fourier_tpu.fftlog import fht, fhtoffset, ifht
 from fourier_tpu.signal import (CztPlan, czt, fftconvolve, next_fast_len,
                                 oaconvolve, prev_fast_len,
                                 zoom_fft)
+from fourier_tpu.spectral import check_cola, check_nola, istft, stft
 from fourier_tpu.utils.helpers import fftfreq, fftshift, ifftshift
 from fourier_tpu.transform import Transform
 
@@ -154,6 +155,10 @@ __all__ = [
     "next_fast_len",
     "oaconvolve",
     "prev_fast_len",
+    "check_cola",
+    "check_nola",
+    "istft",
+    "stft",
     "idct",
     "idctn",
     "idst",

@@ -1,0 +1,329 @@
+"""Short-time Fourier analysis: ``stft`` / ``istft`` (scipy.signal semantics).
+
+Beyond-reference surface (the Rust reference ships raw transforms only,
+``fourier/src/lib.rs:24-60``): the STFT is the canonical *batched* use of an
+FFT library, and this framework's fused kernels are batch-native. The TPU
+shape of the computation: framing/windowing/overlap-add are cheap host-side
+numpy (plan-time style data movement), while ALL the transform work runs as
+ONE batched rfft/fft with the frame axis as the batch dimension — many small
+transforms in one device dispatch, the regime the fused VPU kernel was
+measured fastest in (docs/DESIGN.md).
+
+Window generation is plan-time f64 numpy via scipy.signal.get_window (repo
+convention: no trig inside traces). Semantics and defaults mirror
+scipy.signal.stft/istft including boundary extension, padding, one/two-sided
+selection, 'spectrum'/'psd' scaling, and the NOLA invertibility check.
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+__all__ = ["stft", "istft", "check_nola", "check_cola"]
+
+
+def _get_window(window, nperseg: int) -> np.ndarray:
+    """Resolve a scipy-style window spec to an f64 array of length nperseg."""
+    if isinstance(window, (str, tuple)):
+        from scipy.signal import get_window
+
+        return np.asarray(get_window(window, nperseg), np.float64)
+    win = np.asarray(window, np.float64)
+    if win.ndim != 1:
+        raise ValueError("window must be 1-D")
+    if win.shape[0] != nperseg:
+        raise ValueError(
+            f"window length {win.shape[0]} != nperseg {nperseg}"
+        )
+    return win
+
+
+def _frame(x: np.ndarray, nperseg: int, nstep: int) -> np.ndarray:
+    """(..., n) -> (..., nframes, nperseg) sliding view, copied once."""
+    n = x.shape[-1]
+    nframes = 1 + (n - nperseg) // nstep
+    idx = (
+        np.arange(nperseg)[None, :] + nstep * np.arange(nframes)[:, None]
+    )
+    return x[..., idx]
+
+
+def _detrend_frames(frames: np.ndarray, detrend) -> np.ndarray:
+    if not detrend:
+        return frames
+    if callable(detrend):
+        return detrend(frames)
+    if detrend == "constant":
+        return frames - frames.mean(-1, keepdims=True)
+    if detrend == "linear":
+        n = frames.shape[-1]
+        t = np.arange(n, dtype=np.float64)
+        t = t - t.mean()
+        denom = (t * t).sum()
+        mean = frames.mean(-1, keepdims=True)
+        slope = ((frames - mean) * t).sum(-1, keepdims=True) / denom
+        return frames - mean - slope * t
+    raise ValueError(f"detrend must be False/'constant'/'linear'/callable, "
+                     f"got {detrend!r}")
+
+
+def _extend_boundary(x: np.ndarray, kind: Optional[str],
+                     ext: int) -> np.ndarray:
+    """scipy.signal._arraytools-style boundary extension along the last axis."""
+    if kind is None or ext == 0:
+        return x
+    if kind == "zeros":
+        pad = [(0, 0)] * (x.ndim - 1) + [(ext, ext)]
+        return np.pad(x, pad)
+    # Reflect about the edge sample WITHOUT repeating it (scipy's
+    # even_ext/odd_ext): left mirror is x[ext..1], right is x[-2..-ext-1].
+    head = x[..., ext:0:-1]
+    tail = x[..., -2:-(ext + 2):-1]
+    if kind == "even":
+        return np.concatenate([head, x, tail], axis=-1)
+    if kind == "odd":
+        return np.concatenate(
+            [2 * x[..., :1] - head, x, 2 * x[..., -1:] - tail], axis=-1
+        )
+    if kind == "constant":
+        return np.concatenate(
+            [np.repeat(x[..., :1], ext, -1), x,
+             np.repeat(x[..., -1:], ext, -1)], axis=-1
+        )
+    raise ValueError(
+        f"boundary must be None/'zeros'/'even'/'odd'/'constant', got {kind!r}"
+    )
+
+
+def _resolve_seg(n: int, nperseg: Optional[int], noverlap: Optional[int],
+                 nfft: Optional[int]) -> Tuple[int, int, int]:
+    nperseg = 256 if nperseg is None else int(nperseg)
+    if nperseg < 1:
+        raise ValueError("nperseg must be >= 1")
+    if nperseg > n:
+        warnings.warn(
+            f"nperseg = {nperseg} is greater than input length = {n}, "
+            f"using nperseg = {n}"
+        )
+        nperseg = n
+    noverlap = nperseg // 2 if noverlap is None else int(noverlap)
+    if noverlap >= nperseg:
+        raise ValueError("noverlap must be less than nperseg")
+    nfft = nperseg if nfft is None else int(nfft)
+    if nfft < nperseg:
+        raise ValueError("nfft must be >= nperseg")
+    return nperseg, noverlap, nfft
+
+
+def _batched_fft(frames: np.ndarray, nfft: int, onesided: bool, dtype):
+    """One batched transform over the trailing axis (frame axis = batch)."""
+    if onesided:
+        from fourier_tpu.rfft import _rfft_plan
+
+        return np.asarray(_rfft_plan(nfft, dtype).rfft(frames))
+    from fourier_tpu.plan.planner import create_fft
+    from fourier_tpu.transform import Transform
+
+    plan = create_fft(nfft, dtype)
+    return np.asarray(plan.transform(frames.astype(dtype), Transform.FFT))
+
+
+def stft(x, fs: float = 1.0, window="hann", nperseg: Optional[int] = None,
+         noverlap: Optional[int] = None, nfft: Optional[int] = None,
+         detrend=False, return_onesided: bool = True,
+         boundary: Optional[str] = "zeros", padded: bool = True,
+         scaling: str = "spectrum", dtype=None):
+    """Short-time Fourier transform (scipy.signal.stft semantics).
+
+    Returns ``(f, t, Zxx)`` with ``Zxx[..., freq, time]``. The transform runs
+    as one batched rfft/fft with frames as the batch dimension. ``dtype``
+    picks the transform family (complex64 default; complex128 = double-word
+    path), independent of scipy's input-dtype-based promotion.
+    """
+    x = np.asarray(x)
+    if x.size == 0:
+        raise ValueError("x must be non-empty")
+    n_in = x.shape[-1]
+    nperseg_req = 256 if nperseg is None else int(nperseg)
+    nperseg, noverlap, nfft = _resolve_seg(n_in, nperseg_req, noverlap, nfft)
+    nstep = nperseg - noverlap
+    win = _get_window(window, nperseg)
+
+    complex_in = np.issubdtype(x.dtype, np.complexfloating)
+    onesided = return_onesided and not complex_in
+    if return_onesided and complex_in:
+        warnings.warn(
+            "Input data is complex, switching to return_onesided=False"
+        )
+    if dtype is None:
+        dtype = (
+            np.complex128
+            if x.dtype in (np.float64, np.complex128) else np.complex64
+        )
+
+    x = _extend_boundary(x, boundary, nperseg // 2)
+    if padded:
+        nadd = (-(x.shape[-1] - nperseg) % nstep) % nperseg
+        if nadd:
+            pad = [(0, 0)] * (x.ndim - 1) + [(0, nadd)]
+            x = np.pad(x, pad)
+
+    if scaling == "spectrum":
+        scale = 1.0 / win.sum()
+    elif scaling == "psd":
+        scale = 1.0 / np.sqrt(fs * (win * win).sum())
+    else:
+        raise ValueError(f"scaling must be 'spectrum' or 'psd', got "
+                         f"{scaling!r}")
+
+    frames = _frame(x, nperseg, nstep)
+    frames = _detrend_frames(
+        frames.astype(np.complex128 if complex_in else np.float64), detrend
+    )
+    frames = frames * win
+    if nfft > nperseg:
+        pad = [(0, 0)] * (frames.ndim - 1) + [(0, nfft - nperseg)]
+        frames = np.pad(frames, pad)
+
+    if onesided:
+        rt = np.float64 if dtype == np.dtype(np.complex128) else np.float32
+        z = _batched_fft(frames.real.astype(rt), nfft, True, dtype)
+    else:
+        z = _batched_fft(frames, nfft, False, dtype)
+    z = z * scale
+
+    if onesided:
+        f = np.arange(nfft // 2 + 1, dtype=np.float64) * (fs / nfft)
+    else:
+        f = np.fft.fftfreq(nfft, 1.0 / fs)
+    t = (
+        np.arange(nperseg / 2, x.shape[-1] - nperseg / 2 + 1, nstep)
+        / float(fs)
+    )
+    if boundary is not None:
+        t -= (nperseg / 2) / float(fs)
+    # (..., time, freq) -> (..., freq, time), scipy's Zxx layout
+    return f, t, np.moveaxis(z, -1, -2)
+
+
+def _ola_win(win: np.ndarray, nstep: int, nframes: int,
+             squared: bool) -> np.ndarray:
+    """Overlap-add of the (squared) window across all frame positions."""
+    w = win * win if squared else win
+    n = (nframes - 1) * nstep + win.shape[0]
+    out = np.zeros(n, np.float64)
+    for i in range(nframes):
+        out[i * nstep:i * nstep + win.shape[0]] += w
+    return out
+
+
+def check_nola(window, nperseg: int, noverlap: int, tol: float = 1e-10) -> bool:
+    """Nonzero-overlap-add invertibility condition (scipy.signal.check_NOLA)."""
+    nperseg, noverlap = int(nperseg), int(noverlap)
+    if nperseg < 1 or not 0 <= noverlap < nperseg:
+        raise ValueError("need nperseg >= 1 and 0 <= noverlap < nperseg")
+    win = _get_window(window, nperseg)
+    nstep = nperseg - noverlap
+    binsums = np.zeros(nstep)
+    w2 = win * win
+    for off in range(0, nperseg, nstep):
+        chunk = w2[off:off + nstep]
+        binsums[:chunk.shape[0]] += chunk
+    return bool(np.min(binsums) > tol * np.max(w2))
+
+
+def check_cola(window, nperseg: int, noverlap: int, tol: float = 1e-10) -> bool:
+    """Constant-overlap-add condition (scipy.signal.check_COLA)."""
+    nperseg, noverlap = int(nperseg), int(noverlap)
+    if nperseg < 1 or not 0 <= noverlap < nperseg:
+        raise ValueError("need nperseg >= 1 and 0 <= noverlap < nperseg")
+    win = _get_window(window, nperseg)
+    nstep = nperseg - noverlap
+    binsums = np.zeros(nstep)
+    for off in range(0, nperseg, nstep):
+        chunk = win[off:off + nstep]
+        binsums[:chunk.shape[0]] += chunk
+    return bool(np.max(np.abs(binsums - binsums.mean())) < tol * nperseg)
+
+
+def istft(Zxx, fs: float = 1.0, window="hann", nperseg: Optional[int] = None,
+          noverlap: Optional[int] = None, nfft: Optional[int] = None,
+          input_onesided: bool = True, boundary: bool = True,
+          scaling: str = "spectrum", dtype=None):
+    """Inverse STFT via weighted overlap-add (scipy.signal.istft semantics).
+
+    ``Zxx[..., freq, time]`` as produced by :func:`stft`; returns ``(t, x)``.
+    All inverse transforms run as one batched irfft/ifft (frames = batch).
+    """
+    Zxx = np.asarray(Zxx)
+    if Zxx.ndim < 2:
+        raise ValueError("Zxx must have at least 2 dimensions (freq, time)")
+    nbins, nframes = Zxx.shape[-2], Zxx.shape[-1]
+    if nperseg is None:
+        if nfft is not None:
+            nperseg = int(nfft)
+        else:
+            nperseg = 2 * (nbins - 1) if input_onesided else nbins
+    nperseg = int(nperseg)
+    nfft = nperseg if nfft is None else int(nfft)
+    if nfft < nperseg:
+        raise ValueError("nfft must be >= nperseg")
+    want_bins = nfft // 2 + 1 if input_onesided else nfft
+    if nbins != want_bins:
+        raise ValueError(
+            f"frequency axis has {nbins} bins, expected {want_bins} for "
+            f"nfft={nfft} ({'one' if input_onesided else 'two'}-sided)"
+        )
+    noverlap = nperseg // 2 if noverlap is None else int(noverlap)
+    if noverlap >= nperseg:
+        raise ValueError("noverlap must be less than nperseg")
+    nstep = nperseg - noverlap
+    win = _get_window(window, nperseg)
+    if not check_nola(win, nperseg, noverlap):
+        raise ValueError(
+            "NOLA condition failed: STFT not invertible with this "
+            "window/noverlap"
+        )
+
+    if dtype is None:
+        dtype = (
+            np.complex128 if Zxx.dtype == np.complex128 else np.complex64
+        )
+    if scaling == "spectrum":
+        unscale = win.sum()
+    elif scaling == "psd":
+        unscale = np.sqrt(fs * (win * win).sum())
+    else:
+        raise ValueError(f"scaling must be 'spectrum' or 'psd', got "
+                         f"{scaling!r}")
+
+    z = np.moveaxis(Zxx, -2, -1) * unscale  # (..., time, freq)
+    if input_onesided:
+        from fourier_tpu.rfft import _rfft_plan
+
+        frames = np.asarray(_rfft_plan(nfft, dtype).irfft(z))
+    else:
+        from fourier_tpu.plan.planner import create_fft
+        from fourier_tpu.transform import Transform
+
+        plan = create_fft(nfft, dtype)
+        frames = np.asarray(plan.transform(z.astype(dtype), Transform.IFFT))
+    frames = frames[..., :nperseg] * win
+
+    n = (nframes - 1) * nstep + nperseg
+    x = np.zeros(frames.shape[:-2] + (n,), frames.dtype)
+    for i in range(nframes):
+        x[..., i * nstep:i * nstep + nperseg] += frames[..., i, :]
+    norm = _ola_win(win, nstep, nframes, squared=True)
+    x = x / np.where(norm > 1e-10, norm, 1.0)
+
+    if boundary:
+        ext = nperseg // 2
+        x = x[..., ext:n - ext]
+    t = np.arange(x.shape[-1]) / float(fs)
+    if input_onesided:
+        x = np.real(x)
+    return t, x
