@@ -56,7 +56,9 @@ from fourier_tpu.fftlog import fht, fhtoffset, ifht
 from fourier_tpu.signal import (CztPlan, czt, fftconvolve, next_fast_len,
                                 oaconvolve, prev_fast_len,
                                 zoom_fft)
-from fourier_tpu.spectral import check_cola, check_nola, istft, stft
+from fourier_tpu.spectral import (check_cola, check_nola, coherence, csd,
+                                  istft, periodogram, spectrogram, stft,
+                                  welch)
 from fourier_tpu.utils.helpers import fftfreq, fftshift, ifftshift
 from fourier_tpu.transform import Transform
 
@@ -157,8 +159,13 @@ __all__ = [
     "prev_fast_len",
     "check_cola",
     "check_nola",
+    "coherence",
+    "csd",
     "istft",
+    "periodogram",
+    "spectrogram",
     "stft",
+    "welch",
     "idct",
     "idctn",
     "idst",

@@ -22,7 +22,8 @@ from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
-__all__ = ["stft", "istft", "check_nola", "check_cola"]
+__all__ = ["stft", "istft", "check_nola", "check_cola", "periodogram",
+           "welch", "csd", "coherence", "spectrogram"]
 
 
 def _get_window(window, nperseg: int) -> np.ndarray:
@@ -207,6 +208,204 @@ def stft(x, fs: float = 1.0, window="hann", nperseg: Optional[int] = None,
         t -= (nperseg / 2) / float(fs)
     # (..., time, freq) -> (..., freq, time), scipy's Zxx layout
     return f, t, np.moveaxis(z, -1, -2)
+
+
+# -- power-spectral-density family (scipy.signal.welch etc.) -----------------
+
+
+def _spect_frames(x: np.ndarray, fs: float, window, nperseg: Optional[int],
+                  noverlap: Optional[int], nfft: Optional[int], detrend,
+                  onesided: bool, scaling: str, dtype):
+    """Shared welch/spectrogram core: scaled FFT frames (..., time, freq).
+
+    Like scipy's _spectral_helper with boundary=None, padded=False: segments
+    that do not fill a full nperseg are dropped. Returns (f, t, X) where X
+    carries sqrt(scale), so any conj(X)*Y product carries exactly one power
+    scale factor.
+    """
+    n = x.shape[-1]
+    nperseg, noverlap, nfft = _resolve_seg(n, nperseg, noverlap, nfft)
+    nstep = nperseg - noverlap
+    win = _get_window(window, nperseg)
+
+    complex_in = np.issubdtype(x.dtype, np.complexfloating)
+    onesided = onesided and not complex_in
+    if dtype is None:
+        dtype = (
+            np.complex128
+            if x.dtype in (np.float64, np.complex128) else np.complex64
+        )
+
+    if scaling == "density":
+        scale = 1.0 / (fs * (win * win).sum())
+    elif scaling == "spectrum":
+        scale = 1.0 / win.sum() ** 2
+    else:
+        raise ValueError(f"scaling must be 'density' or 'spectrum', got "
+                         f"{scaling!r}")
+    scale = np.sqrt(scale)
+
+    frames = _frame(x, nperseg, nstep)
+    frames = _detrend_frames(
+        frames.astype(np.complex128 if complex_in else np.float64), detrend
+    )
+    frames = frames * win
+    if nfft > nperseg:
+        pad = [(0, 0)] * (frames.ndim - 1) + [(0, nfft - nperseg)]
+        frames = np.pad(frames, pad)
+    if onesided:
+        rt = np.float64 if dtype == np.dtype(np.complex128) else np.float32
+        z = _batched_fft(frames.real.astype(rt), nfft, True, dtype)
+        f = np.arange(nfft // 2 + 1, dtype=np.float64) * (fs / nfft)
+    else:
+        z = _batched_fft(frames, nfft, False, dtype)
+        f = np.fft.fftfreq(nfft, 1.0 / fs)
+    t = np.arange(nperseg / 2, n - nperseg / 2 + 1, nstep) / float(fs)
+    return f, t, z * scale, onesided, nfft
+
+
+def _onesided_double(p: np.ndarray, nfft: int) -> np.ndarray:
+    """Double the shared bins of a one-sided PSD (all but DC and Nyquist)."""
+    p = p.copy()
+    stop = -1 if nfft % 2 == 0 else p.shape[-1]
+    p[..., 1:stop] *= 2.0
+    return p
+
+
+def _median_bias(n: int) -> float:
+    """Bias of the median of n scaled chi^2(2) variables (scipy's)."""
+    ii_2 = 2 * np.arange(1.0, (n - 1) // 2 + 1)
+    return float(1 + np.sum(1.0 / (ii_2 + 1) - 1.0 / ii_2))
+
+
+def csd(x, y, fs: float = 1.0, window="hann", nperseg: Optional[int] = None,
+        noverlap: Optional[int] = None, nfft: Optional[int] = None,
+        detrend="constant", return_onesided: bool = True,
+        scaling: str = "density", average: str = "mean", dtype=None):
+    """Cross power spectral density via Welch's method (scipy.signal.csd).
+
+    Returns ``(f, Pxy)`` with ``Pxy = <conj(X) * Y>`` averaged over segments
+    ('mean' or bias-corrected 'median'). Both signals' segment FFTs run as
+    one batched transform each. The shorter input is zero-padded.
+    """
+    x = np.asarray(x)
+    y = np.asarray(y)
+    same = x is y or (x.shape == y.shape and np.shares_memory(x, y))
+    if not same and x.shape[-1] != y.shape[-1]:
+        nmax = max(x.shape[-1], y.shape[-1])
+        def _padto(a):
+            if a.shape[-1] == nmax:
+                return a
+            pad = [(0, 0)] * (a.ndim - 1) + [(0, nmax - a.shape[-1])]
+            return np.pad(a, pad)
+        x, y = _padto(x), _padto(y)
+    f, t, zx, onesided, nfft_r = _spect_frames(
+        x, fs, window, nperseg, noverlap, nfft, detrend,
+        return_onesided and not np.issubdtype(y.dtype, np.complexfloating),
+        scaling, dtype,
+    )
+    if same:
+        zy = zx
+    else:
+        _, _, zy, _, _ = _spect_frames(
+            y, fs, window, nperseg, noverlap, nfft, detrend, onesided,
+            scaling, dtype,
+        )
+    pxy = np.conj(zx) * zy
+    if onesided:
+        pxy = _onesided_double(pxy, nfft_r)
+    nseg = pxy.shape[-2]
+    if average == "mean":
+        pxy = pxy.mean(-2)
+    elif average == "median":
+        pxy = (
+            np.median(np.real(pxy), -2) + 1j * np.median(np.imag(pxy), -2)
+        ) / _median_bias(nseg)
+    else:
+        raise ValueError(f"average must be 'mean' or 'median', got "
+                         f"{average!r}")
+    return f, pxy
+
+
+def welch(x, fs: float = 1.0, window="hann", nperseg: Optional[int] = None,
+          noverlap: Optional[int] = None, nfft: Optional[int] = None,
+          detrend="constant", return_onesided: bool = True,
+          scaling: str = "density", average: str = "mean", dtype=None):
+    """Power spectral density via Welch's method (scipy.signal.welch)."""
+    x = np.asarray(x)
+    f, pxx = csd(x, x, fs, window, nperseg, noverlap, nfft, detrend,
+                 return_onesided, scaling, average, dtype)
+    return f, pxx.real
+
+
+def periodogram(x, fs: float = 1.0, window="boxcar",
+                nfft: Optional[int] = None, detrend="constant",
+                return_onesided: bool = True, scaling: str = "density",
+                dtype=None):
+    """Single-segment PSD estimate (scipy.signal.periodogram)."""
+    x = np.asarray(x)
+    return welch(x, fs, window, nperseg=x.shape[-1], noverlap=0, nfft=nfft,
+                 detrend=detrend, return_onesided=return_onesided,
+                 scaling=scaling, dtype=dtype)
+
+
+def coherence(x, y, fs: float = 1.0, window="hann",
+              nperseg: Optional[int] = None, noverlap: Optional[int] = None,
+              nfft: Optional[int] = None, detrend="constant", dtype=None):
+    """Magnitude-squared coherence |Pxy|^2/(Pxx*Pyy) (scipy.signal.coherence)."""
+    f, pxx = welch(x, fs, window, nperseg, noverlap, nfft, detrend,
+                   dtype=dtype)
+    _, pyy = welch(y, fs, window, nperseg, noverlap, nfft, detrend,
+                   dtype=dtype)
+    _, pxy = csd(x, y, fs, window, nperseg, noverlap, nfft, detrend,
+                 dtype=dtype)
+    return f, np.abs(pxy) ** 2 / (pxx * pyy)
+
+
+def spectrogram(x, fs: float = 1.0, window=("tukey", 0.25),
+                nperseg: Optional[int] = None,
+                noverlap: Optional[int] = None, nfft: Optional[int] = None,
+                detrend="constant", return_onesided: bool = True,
+                scaling: str = "density", mode: str = "psd", dtype=None):
+    """Per-segment spectrogram (scipy.signal.spectrogram semantics).
+
+    ``mode`` is psd / complex / magnitude / angle / phase; default overlap is
+    nperseg//8 (scipy's spectrogram default, unlike stft's 50%). Returns
+    ``(f, t, Sxx)`` with ``Sxx[..., freq, time]``.
+    """
+    x = np.asarray(x)
+    if noverlap is None:
+        nperseg_r, _, _ = _resolve_seg(
+            x.shape[-1], 256 if nperseg is None else int(nperseg), 0, nfft
+        )
+        noverlap = nperseg_r // 8
+    if mode == "psd":
+        f, t, z, onesided, nfft_r = _spect_frames(
+            x, fs, window, nperseg, noverlap, nfft, detrend,
+            return_onesided, scaling, dtype,
+        )
+        sxx = (np.conj(z) * z).real
+        if onesided:
+            sxx = _onesided_double(sxx, nfft_r)
+    elif mode in ("complex", "magnitude", "angle", "phase"):
+        f, t, z, onesided, nfft_r = _spect_frames(
+            x, fs, window, nperseg, noverlap, nfft, detrend,
+            return_onesided, scaling, dtype,
+        )
+        if mode == "complex":
+            sxx = z
+        elif mode == "magnitude":
+            sxx = np.abs(z)
+        else:
+            sxx = np.angle(z)
+            if mode == "phase":
+                # scipy unwraps along the FREQUENCY axis (last, pre-move)
+                sxx = np.unwrap(sxx, axis=-1)
+    else:
+        raise ValueError(
+            f"mode must be psd/complex/magnitude/angle/phase, got {mode!r}"
+        )
+    return f, t, np.moveaxis(sxx, -1, -2)
 
 
 def _ola_win(win: np.ndarray, nstep: int, nframes: int,

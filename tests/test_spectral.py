@@ -136,3 +136,117 @@ def test_check_cola_nola():
 def test_stft_exports():
     assert ft.stft is stft and ft.istft is istft
     assert ft.check_cola is check_cola and ft.check_nola is check_nola
+
+
+# -- PSD family ----------------------------------------------------------------
+
+
+@pytest.mark.parametrize("scaling", ["density", "spectrum"])
+@pytest.mark.parametrize("average", ["mean", "median"])
+def test_welch_vs_scipy(scaling, average):
+    from fourier_tpu.spectral import welch
+
+    rng = np.random.default_rng(RNG_SEED)
+    x = rng.standard_normal(4000).astype(np.float32)
+    f, p = welch(x, fs=8.0, nperseg=256, scaling=scaling, average=average)
+    fw, pw = ss.welch(x.astype(np.float64), fs=8.0, nperseg=256,
+                      scaling=scaling, average=average)
+    np.testing.assert_allclose(f, fw)
+    assert _rel(p, pw) < 1e-4
+
+
+def test_welch_options_vs_scipy():
+    from fourier_tpu.spectral import welch
+
+    rng = np.random.default_rng(RNG_SEED)
+    x = (rng.standard_normal(3000) + 2.5).astype(np.float32)
+    for kw in (
+        dict(nperseg=200, noverlap=150),
+        dict(nperseg=128, nfft=256),
+        dict(nperseg=128, detrend="linear"),
+        dict(nperseg=128, detrend=False),
+        dict(nperseg=127, window="hamming"),  # odd nperseg (Nyquist handling)
+    ):
+        f, p = welch(x, **kw)
+        fw, pw = ss.welch(x.astype(np.float64), **kw)
+        np.testing.assert_allclose(f, fw)
+        assert _rel(p, pw) < 1e-4, kw
+
+
+def test_welch_complex_twosided():
+    from fourier_tpu.spectral import welch
+
+    rng = np.random.default_rng(RNG_SEED)
+    x = (rng.standard_normal(2048) + 1j * rng.standard_normal(2048)).astype(
+        np.complex64
+    )
+    f, p = welch(x, nperseg=256)
+    fw, pw = ss.welch(x.astype(np.complex128), nperseg=256)
+    np.testing.assert_allclose(f, fw)
+    assert _rel(p, pw) < 1e-4
+
+
+def test_csd_and_coherence_vs_scipy():
+    from fourier_tpu.spectral import coherence, csd
+
+    rng = np.random.default_rng(RNG_SEED)
+    x = rng.standard_normal(4000).astype(np.float32)
+    y = (
+        np.roll(x, 3) + 0.4 * rng.standard_normal(4000).astype(np.float32)
+    ).astype(np.float32)
+    f, pxy = csd(x, y, fs=2.0, nperseg=256)
+    fw, pw = ss.csd(x.astype(np.float64), y.astype(np.float64), fs=2.0,
+                    nperseg=256)
+    assert pxy.dtype.kind == "c"
+    assert _rel(pxy, pw) < 1e-4
+    f, cxy = coherence(x, y, nperseg=256)
+    fw, cw = ss.coherence(x.astype(np.float64), y.astype(np.float64),
+                          nperseg=256)
+    assert _rel(cxy, cw) < 1e-4
+    # unequal lengths: shorter zero-padded
+    f, pxy = csd(x, y[:3000], nperseg=256)
+    fw, pw = ss.csd(x.astype(np.float64), y[:3000].astype(np.float64),
+                    nperseg=256)
+    assert _rel(pxy, pw) < 1e-4
+
+
+def test_periodogram_vs_scipy():
+    from fourier_tpu.spectral import periodogram
+
+    rng = np.random.default_rng(RNG_SEED)
+    x = rng.standard_normal(1024).astype(np.float32)
+    f, p = periodogram(x, fs=5.0)
+    fw, pw = ss.periodogram(x.astype(np.float64), fs=5.0)
+    np.testing.assert_allclose(f, fw)
+    assert _rel(p, pw) < 1e-4
+    f, p = periodogram(x, window="hann", nfft=2048)
+    fw, pw = ss.periodogram(x.astype(np.float64), window="hann", nfft=2048)
+    assert _rel(p, pw) < 1e-4
+
+
+@pytest.mark.parametrize("mode", ["psd", "complex", "magnitude", "angle",
+                                  "phase"])
+def test_spectrogram_vs_scipy(mode):
+    from fourier_tpu.spectral import spectrogram
+
+    rng = np.random.default_rng(RNG_SEED)
+    x = rng.standard_normal(3000).astype(np.float32)
+    f, t, s = spectrogram(x, fs=100.0, nperseg=256, mode=mode)
+    fw, tw, sw = ss.spectrogram(x.astype(np.float64), fs=100.0, nperseg=256,
+                                mode=mode)
+    np.testing.assert_allclose(f, fw)
+    np.testing.assert_allclose(t, tw)
+    assert s.shape == sw.shape
+    tol = 2e-3 if mode in ("angle", "phase") else 1e-4
+    assert _rel(s, sw) < tol, mode
+
+
+def test_welch_batched():
+    from fourier_tpu.spectral import welch
+
+    rng = np.random.default_rng(RNG_SEED)
+    x = rng.standard_normal((4, 2000)).astype(np.float32)
+    f, p = welch(x, nperseg=256)
+    fw, pw = ss.welch(x.astype(np.float64), nperseg=256)
+    assert p.shape == pw.shape
+    assert _rel(p, pw) < 1e-4
