@@ -53,9 +53,10 @@ from fourier_tpu.rfft import (
     rfftn,
 )
 from fourier_tpu.fftlog import fht, fhtoffset, ifht
-from fourier_tpu.signal import (CztPlan, czt, fftconvolve, next_fast_len,
-                                oaconvolve, prev_fast_len,
-                                zoom_fft)
+from fourier_tpu.signal import (CztPlan, correlate, correlation_lags, czt,
+                                fftconvolve, hilbert, hilbert2,
+                                next_fast_len, oaconvolve, prev_fast_len,
+                                resample, zoom_fft)
 from fourier_tpu.spectral import (check_cola, check_nola, coherence, csd,
                                   istft, periodogram, spectrogram, stft,
                                   welch)
@@ -157,6 +158,11 @@ __all__ = [
     "next_fast_len",
     "oaconvolve",
     "prev_fast_len",
+    "correlate",
+    "correlation_lags",
+    "hilbert",
+    "hilbert2",
+    "resample",
     "check_cola",
     "check_nola",
     "coherence",

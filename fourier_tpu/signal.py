@@ -342,6 +342,192 @@ def oaconvolve(in1, in2, mode: str = "full",
     return np.real(y) if real_out else y
 
 
+# -- analytic signal / FFT resampling / correlation ---------------------------
+
+
+def hilbert(x, n: Optional[int] = None, dtype=None) -> np.ndarray:
+    """Analytic signal via the FFT (scipy.signal.hilbert, axis=-1).
+
+    Zeroes negative frequencies and doubles positive ones: the imaginary
+    part of the result is the Hilbert transform of ``x`` (which must be
+    real). Runs one forward + one inverse batched c2c transform.
+    """
+    from fourier_tpu.plan.planner import create_fft
+    from fourier_tpu.transform import Transform
+
+    x = np.asarray(x)
+    if np.issubdtype(x.dtype, np.complexfloating):
+        raise ValueError("x must be real")
+    n = x.shape[-1] if n is None else int(n)
+    if n <= 0:
+        raise ValueError("n must be positive")
+    from fourier_tpu.ndim import _crop_pad_axis
+
+    x = _crop_pad_axis(x, n, x.ndim - 1)
+    if dtype is None:
+        dtype = np.complex128 if x.dtype == np.float64 else np.complex64
+    h = np.zeros(n, np.float64)
+    if n % 2 == 0:
+        h[0] = h[n // 2] = 1.0
+        h[1:n // 2] = 2.0
+    else:
+        h[0] = 1.0
+        h[1:(n + 1) // 2] = 2.0
+    plan = create_fft(n, dtype)
+    spec = np.asarray(plan.transform(x.astype(dtype), Transform.FFT)) * h
+    return np.asarray(plan.transform(spec, Transform.IFFT))
+
+
+def hilbert2(x, n: Optional[Sequence[int]] = None,
+             axes: Tuple[int, int] = (-2, -1), dtype=None) -> np.ndarray:
+    """2-D analytic signal — scipy.signal.hilbert2's "single-orthant"
+    transform: per axis, bins [1, (N+1)//2) are doubled and bins from
+    (N+1)//2 on (including an even-N Nyquist) are zeroed."""
+    from fourier_tpu.ndim import _crop_pad_axis, _nd_plan
+    from fourier_tpu.transform import Transform
+
+    x = np.atleast_2d(np.asarray(x))
+    if np.issubdtype(x.dtype, np.complexfloating):
+        raise ValueError("x must be real")
+    if len(axes) != 2 or (axes[0] % x.ndim) == (axes[1] % x.ndim):
+        raise ValueError("axes must be two distinct axes")
+    x = np.moveaxis(x, axes, (-2, -1))
+    if n is None:
+        shape = x.shape[-2:]
+    else:
+        if np.isscalar(n):
+            n = (int(n), int(n))
+        if len(n) != 2 or min(int(n[0]), int(n[1])) <= 0:
+            raise ValueError("n must be two positive ints")
+        shape = (int(n[0]), int(n[1]))
+        x = _crop_pad_axis(x, shape[0], x.ndim - 2)
+        x = _crop_pad_axis(x, shape[1], x.ndim - 1)
+    if dtype is None:
+        dtype = np.complex128 if x.dtype == np.float64 else np.complex64
+
+    def _h1(m: int) -> np.ndarray:
+        h = np.zeros(m, np.float64)
+        h[0] = 1.0
+        h[1:(m + 1) // 2] = 2.0
+        return h
+
+    h = np.outer(_h1(shape[0]), _h1(shape[1]))
+    plan = _nd_plan(shape, dtype)
+    spec = np.asarray(plan.transform(x.astype(dtype), Transform.FFT)) * h
+    out = np.asarray(plan.transform(spec, Transform.IFFT))
+    return np.moveaxis(out, (-2, -1), axes)
+
+
+def resample(x, num: int, t=None, axis: int = -1, window=None,
+             domain: str = "time", dtype=None):
+    """Fourier-domain resampling to ``num`` samples (scipy.signal.resample;
+    NOTE the repo-wide default ``axis=-1``, scipy defaults to 0): transform,
+    crop/zero-pad the spectrum with scipy's exact unpaired-Nyquist-bin
+    bookkeeping, inverse-transform at the new length."""
+    from fourier_tpu.plan.planner import create_fft
+    from fourier_tpu.transform import Transform
+
+    x = np.asarray(x)
+    num = int(num)
+    if num <= 0:
+        raise ValueError("num must be positive")
+    if domain not in ("time", "freq"):
+        raise ValueError(f"domain must be 'time' or 'freq', got {domain!r}")
+    if axis not in (-1, x.ndim - 1):
+        x = np.moveaxis(x, axis, -1)
+    n = x.shape[-1]
+    complex_in = np.issubdtype(x.dtype, np.complexfloating)
+    if dtype is None:
+        dtype = (
+            np.complex128
+            if x.dtype in (np.float64, np.complex128) else np.complex64
+        )
+
+    if domain == "time":
+        plan = create_fft(n, dtype)
+        spec = np.asarray(plan.transform(x.astype(dtype), Transform.FFT))
+    else:
+        spec = np.asarray(x)
+    spec = spec.astype(np.complex128)
+    if window is not None:
+        if callable(window):
+            w = np.asarray(window(np.fft.fftfreq(n)), np.float64)
+        elif hasattr(window, "shape"):
+            w = np.asarray(window, np.float64)
+            if w.shape != (n,):
+                raise ValueError(
+                    f"window length {w.shape} != number of bins ({n},)"
+                )
+        else:
+            from scipy.signal import get_window
+
+            w = np.fft.fftshift(
+                np.asarray(get_window(window, n), np.float64)
+            )
+        spec = spec * w
+
+    # scipy's spectrum crop/pad: m relevant bins, m2 = one-sided count
+    # (includes the unpaired Nyquist bin of the SMALLER grid).
+    m = min(n, num)
+    m2 = m // 2 + 1
+    newspec = np.zeros(spec.shape[:-1] + (num,), np.complex128)
+    newspec[..., :m2] = spec[..., :m2]
+    if m2 < m:
+        newspec[..., m2 - m:] = spec[..., m2 - m:]
+    if m % 2 == 0:
+        if num < n:
+            # down: fold the old negative twin into the unpaired bin
+            newspec[..., -m // 2] += spec[..., n - m // 2]
+        elif n < num:
+            # up: split the unpaired bin into a +/- pair
+            newspec[..., m // 2] *= 0.5
+            newspec[..., num - m // 2] = newspec[..., m // 2]
+
+    plan_out = create_fft(num, dtype)
+    y = np.asarray(
+        plan_out.transform(newspec.astype(dtype), Transform.IFFT)
+    ) * (float(num) / float(n))
+    if not complex_in and domain == "time":
+        y = np.real(y)
+    if axis not in (-1, y.ndim - 1):
+        y = np.moveaxis(y, -1, axis)
+    if t is None:
+        return y
+    new_t = np.arange(num) * (t[1] - t[0]) * n / float(num) + t[0]
+    return y, new_t
+
+
+def correlate(in1, in2, mode: str = "full",
+              axes: Optional[Sequence[int]] = None,
+              dtype=np.complex64) -> np.ndarray:
+    """Cross-correlation via FFT (scipy.signal.correlate(method='fft')):
+    ``corr(a, b) = conv(a, conj(reversed(b)))`` over ``axes``."""
+    b = np.asarray(in2)
+    conv_axes = _norm_axes(b.ndim, axes)
+    rev = tuple(
+        slice(None, None, -1) if ax in conv_axes else slice(None)
+        for ax in range(b.ndim)
+    )
+    return fftconvolve(in1, np.conj(b[rev]), mode, axes, dtype)
+
+
+def correlation_lags(in1_len: int, in2_len: int,
+                     mode: str = "full") -> np.ndarray:
+    """Lag indices for :func:`correlate` (scipy.signal.correlation_lags)."""
+    in1_len, in2_len = int(in1_len), int(in2_len)
+    if mode == "full":
+        return np.arange(-in2_len + 1, in1_len)
+    if mode == "same":
+        lags = np.arange(-in2_len + 1, in1_len)
+        mid = lags.size // 2
+        start = mid - in1_len // 2
+        return lags[start:start + in1_len]
+    if mode == "valid":
+        lag_max = max(in1_len, in2_len) - min(in1_len, in2_len)
+        return np.arange(lag_max + 1) - (in2_len - min(in1_len, in2_len))
+    raise ValueError(f"mode must be full/same/valid, got {mode!r}")
+
+
 # -- chirp z-transform (scipy.signal.czt / zoom_fft) -------------------------
 #
 # Beyond-reference surface built on the machinery the reference DOES have:

@@ -232,3 +232,137 @@ def test_oaconvolve_validation():
             np.zeros((3, 5), np.float32),
             axes=-1,
         )
+
+
+# -- analytic signal / resample / correlation ----------------------------------
+
+
+@pytest.mark.parametrize("n", [64, 100, 101])
+def test_hilbert_vs_scipy(n):
+    from fourier_tpu.signal import hilbert
+
+    rng = np.random.default_rng(RNG_SEED)
+    x = rng.standard_normal((2, n))
+    got = np.asarray(hilbert(x.astype(np.float32)))
+    want = ss.hilbert(x)
+    assert _rel(got, want) < 1e-5
+    # envelope of a chirpy tone is ~constant
+    tt = np.arange(512) / 512.0
+    tone = np.cos(2 * np.pi * 50 * tt).astype(np.float32)
+    env = np.abs(np.asarray(hilbert(tone)))
+    assert np.all(np.abs(env[32:-32] - 1.0) < 0.02)
+
+
+def test_hilbert_n_and_validation():
+    from fourier_tpu.signal import hilbert
+
+    rng = np.random.default_rng(RNG_SEED)
+    x = rng.standard_normal(100)
+    got = np.asarray(hilbert(x.astype(np.float32), 150))
+    want = ss.hilbert(x, 150)
+    assert _rel(got, want) < 1e-5
+    with pytest.raises(ValueError):
+        hilbert(x.astype(np.complex64))
+    with pytest.raises(ValueError):
+        hilbert(x, 0)
+
+
+def test_hilbert2_vs_scipy():
+    from fourier_tpu.signal import hilbert2
+
+    rng = np.random.default_rng(RNG_SEED)
+    img = rng.standard_normal((24, 37))
+    got = np.asarray(hilbert2(img.astype(np.float32)))
+    assert _rel(got, ss.hilbert2(img)) < 1e-5
+    got = np.asarray(hilbert2(img.astype(np.float32), (32, 32)))
+    assert _rel(got, ss.hilbert2(img, (32, 32))) < 1e-5
+    b = rng.standard_normal((3, 16, 18))
+    got = np.asarray(hilbert2(b.astype(np.float32), axes=(1, 2)))
+    assert _rel(got, ss.hilbert2(b, axes=(1, 2))) < 1e-5
+    with pytest.raises(ValueError):
+        hilbert2(img.astype(np.complex64))
+    with pytest.raises(ValueError):
+        hilbert2(img, axes=(0, 0))
+
+
+@pytest.mark.parametrize("n,num", [
+    (100, 50), (100, 51), (101, 50), (100, 200), (100, 201), (101, 202),
+    (128, 128),
+])
+def test_resample_vs_scipy(n, num):
+    from fourier_tpu.signal import resample
+
+    rng = np.random.default_rng(RNG_SEED)
+    x = rng.standard_normal(n)
+    got = np.asarray(resample(x.astype(np.float32), num))
+    want = ss.resample(x, num)
+    assert got.dtype.kind == "f"
+    assert _rel(got, want) < 1e-5
+    xc = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    got = np.asarray(resample(xc.astype(np.complex64), num))
+    assert _rel(got, ss.resample(xc, num)) < 1e-5
+
+
+def test_resample_window_t_and_domain():
+    from fourier_tpu.signal import resample
+
+    rng = np.random.default_rng(RNG_SEED)
+    x = rng.standard_normal(120)
+    t = np.arange(120) * 0.25
+    got, gt = resample(x.astype(np.float32), 80, t=t, window="hamming")
+    want, wt = ss.resample(x, 80, t=t, window="hamming")
+    assert _rel(got, want) < 1e-5
+    np.testing.assert_allclose(gt, wt)
+    wf = lambda f: np.exp(-8.0 * f * f)
+    got = resample(x.astype(np.float32), 80, window=wf)
+    assert _rel(got, ss.resample(x, 80, window=wf)) < 1e-5
+    spec = np.fft.fft(x)
+    got = resample(spec.astype(np.complex64), 80, domain="freq")
+    assert _rel(got, ss.resample(spec, 80, domain="freq")) < 1e-5
+    # batched along axis 0 (scipy's default axis)
+    xb = rng.standard_normal((100, 3))
+    got = resample(xb.astype(np.float32), 64, axis=0)
+    assert _rel(got, ss.resample(xb, 64, axis=0)) < 1e-5
+    with pytest.raises(ValueError):
+        resample(x, 0)
+    with pytest.raises(ValueError):
+        resample(x, 50, domain="nope")
+
+
+@pytest.mark.parametrize("mode", ["full", "same", "valid"])
+def test_correlate_vs_scipy(mode):
+    from fourier_tpu.signal import correlate, correlation_lags
+
+    rng = np.random.default_rng(RNG_SEED)
+    a = rng.standard_normal(300).astype(np.float32)
+    b = rng.standard_normal(41).astype(np.float32)
+    got = np.asarray(correlate(a, b, mode))
+    want = ss.correlate(a.astype(np.float64), b.astype(np.float64), mode,
+                        method="fft")
+    assert _rel(got, want) < 1e-5
+    np.testing.assert_array_equal(
+        correlation_lags(300, 41, mode), ss.correlation_lags(300, 41, mode)
+    )
+
+
+def test_correlate_complex_conjugation():
+    from fourier_tpu.signal import correlate
+
+    rng = np.random.default_rng(RNG_SEED)
+    a = (rng.standard_normal(128) + 1j * rng.standard_normal(128)).astype(
+        np.complex64
+    )
+    b = (rng.standard_normal(32) + 1j * rng.standard_normal(32)).astype(
+        np.complex64
+    )
+    got = np.asarray(correlate(a, b))
+    want = ss.correlate(
+        a.astype(np.complex128), b.astype(np.complex128), method="fft"
+    )
+    assert _rel(got, want) < 1e-5
+    # peak finds the embedded template
+    sig = np.zeros(256, np.float32)
+    sig[100:132] = b.real
+    lag = np.argmax(np.abs(np.asarray(correlate(sig, b.real))))
+    from fourier_tpu.signal import correlation_lags
+    assert correlation_lags(256, 32)[lag] == 100
