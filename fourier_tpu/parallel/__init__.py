@@ -1,6 +1,10 @@
 from fourier_tpu.parallel.sharded import (
     Fft2dPlan,
     FourStepPlan,
+    batched_irfft,
+    batched_irfft_dd,
+    batched_rfft,
+    batched_rfft_dd,
     batched_transform,
     batched_transform_dd,
 )
@@ -8,6 +12,10 @@ from fourier_tpu.parallel.sharded import (
 __all__ = [
     "Fft2dPlan",
     "FourStepPlan",
+    "batched_irfft",
+    "batched_irfft_dd",
+    "batched_rfft",
+    "batched_rfft_dd",
     "batched_transform",
     "batched_transform_dd",
 ]

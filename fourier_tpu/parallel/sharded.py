@@ -191,6 +191,58 @@ def batched_transform_dd(
     return fn((re_hi, re_lo, im_hi, im_lo))
 
 
+def batched_rfft(
+    plan, x: jnp.ndarray, mesh: Mesh, axis: str = "batch"
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batch-sharded real-input FFT: leading axis split over mesh axis
+    ``axis``; every device runs the :class:`~fourier_tpu.rfft.RfftPlan` on
+    its local shard (zero communication). Returns planar (re, im) one-sided
+    spectra."""
+    spec = P(axis, *([None] * (x.ndim - 1)))
+    fn = shard_map(
+        plan.rfft_planar, mesh=mesh, in_specs=(spec,), out_specs=(spec, spec)
+    )
+    return fn(x)
+
+
+def batched_irfft(
+    plan, re: jnp.ndarray, im: jnp.ndarray, mesh: Mesh, axis: str = "batch"
+) -> jnp.ndarray:
+    """Inverse of :func:`batched_rfft` (planar one-sided spectrum in, real
+    signal out), batch-sharded and communication-free."""
+    spec = P(axis, *([None] * (re.ndim - 1)))
+    fn = shard_map(
+        plan.irfft_planar, mesh=mesh, in_specs=(spec, spec), out_specs=spec
+    )
+    return fn(re, im)
+
+
+def batched_rfft_dd(
+    plan, xh, xl, mesh: Mesh, axis: str = "batch"
+) -> Tuple:
+    """Batch-sharded c128 (double-word) real-input FFT: two input limb
+    planes, four output planes (re_hi, re_lo, im_hi, im_lo)."""
+    spec = P(axis, *([None] * (xh.ndim - 1)))
+    fn = shard_map(
+        plan.rfft_planar_dd, mesh=mesh, in_specs=(spec, spec),
+        out_specs=(spec,) * 4,
+    )
+    return fn(xh, xl)
+
+
+def batched_irfft_dd(
+    plan, reh, rel, imh, iml, mesh: Mesh, axis: str = "batch"
+) -> Tuple:
+    """Inverse of :func:`batched_rfft_dd`: four spectrum planes in, two
+    real limb planes out."""
+    spec = P(axis, *([None] * (reh.ndim - 1)))
+    fn = shard_map(
+        plan.irfft_planar_dd, mesh=mesh, in_specs=(spec,) * 4,
+        out_specs=(spec,) * 2,
+    )
+    return fn(reh, rel, imh, iml)
+
+
 # ---------------------------------------------------------------------------
 # Shared machinery for the sharded plan classes
 # ---------------------------------------------------------------------------

@@ -384,3 +384,61 @@ def test_dd_plane_api_mismatch_raises():
         plan_c64.transform_planar_dd(
             *(np.zeros((16, 16), np.float32),) * 4
         )
+
+
+# -- batch-sharded real transforms ---------------------------------------------
+
+
+def test_batched_rfft_matches_single():
+    from fourier_tpu.parallel import batched_irfft, batched_rfft
+    from fourier_tpu.rfft import RfftPlan
+
+    rng = np.random.default_rng(RNG_SEED)
+    mesh = _mesh("batch")
+    n, B = 96, 4 * len(jax.devices())
+    plan = RfftPlan(n)
+    x = rng.standard_normal((B, n)).astype(np.float32)
+    re, im = batched_rfft(plan, x, mesh, axis="batch")
+    got = np.asarray(re) + 1j * np.asarray(im)
+    want = np.fft.rfft(x)
+    assert np.linalg.norm(got - want) <= 1e-5 * np.linalg.norm(want)
+    back = np.asarray(batched_irfft(plan, re, im, mesh, axis="batch"))
+    assert np.linalg.norm(back - x) <= 1e-5 * np.linalg.norm(x)
+
+
+def test_batched_rfft_odd_n():
+    from fourier_tpu.parallel import batched_rfft
+    from fourier_tpu.rfft import RfftPlan
+
+    rng = np.random.default_rng(RNG_SEED)
+    mesh = _mesh("batch")
+    n, B = 27, 2 * len(jax.devices())
+    plan = RfftPlan(n)
+    x = rng.standard_normal((B, n)).astype(np.float32)
+    re, im = batched_rfft(plan, x, mesh, axis="batch")
+    got = np.asarray(re) + 1j * np.asarray(im)
+    want = np.fft.rfft(x)
+    assert np.linalg.norm(got - want) <= 1e-5 * np.linalg.norm(want)
+
+
+def test_batched_rfft_dd_matches_numpy():
+    from fourier_tpu.parallel import batched_irfft_dd, batched_rfft_dd
+    from fourier_tpu.precision import ddreal as dd
+    from fourier_tpu.rfft import RfftPlan
+
+    rng = np.random.default_rng(RNG_SEED)
+    mesh = _mesh("batch")
+    n, B = 64, 2 * len(jax.devices())
+    plan = RfftPlan(n, np.complex128, backend="dd")
+    assert plan.dd
+    x = rng.standard_normal((B, n))
+    xh, xl = dd.from_f64(x)
+    planes = batched_rfft_dd(plan, xh, xl, mesh, axis="batch")
+    got = dd.to_f64((np.asarray(planes[0]), np.asarray(planes[1]))) + 1j * (
+        dd.to_f64((np.asarray(planes[2]), np.asarray(planes[3])))
+    )
+    want = np.fft.rfft(x)
+    assert np.linalg.norm(got - want) <= 1e-12 * np.linalg.norm(want)
+    bh, bl = batched_irfft_dd(plan, *planes, mesh=mesh, axis="batch")
+    back = dd.to_f64((np.asarray(bh), np.asarray(bl)))
+    assert np.linalg.norm(back - x) <= 1e-12 * np.linalg.norm(x)
