@@ -57,9 +57,9 @@ from fourier_tpu.signal import (CztPlan, correlate, correlation_lags, czt,
                                 fftconvolve, hilbert, hilbert2,
                                 next_fast_len, oaconvolve, prev_fast_len,
                                 resample, zoom_fft)
-from fourier_tpu.spectral import (check_cola, check_nola, coherence, csd,
-                                  istft, periodogram, spectrogram, stft,
-                                  welch)
+from fourier_tpu.spectral import (StftPlan, check_cola, check_nola,
+                                  coherence, csd, istft, periodogram,
+                                  spectrogram, stft, welch)
 from fourier_tpu.utils.helpers import fftfreq, fftshift, ifftshift
 from fourier_tpu.transform import Transform
 
@@ -171,6 +171,7 @@ __all__ = [
     "periodogram",
     "spectrogram",
     "stft",
+    "StftPlan",
     "welch",
     "idct",
     "idctn",

@@ -13,6 +13,11 @@ Window generation is plan-time f64 numpy via scipy.signal.get_window (repo
 convention: no trig inside traces). Semantics and defaults mirror
 scipy.signal.stft/istft including boundary extension, padding, one/two-sided
 selection, 'spectrum'/'psd' scaling, and the NOLA invertibility check.
+
+:class:`StftPlan` is the fully device-resident variant: a registered-pytree
+plan whose forward/inverse are traceable end-to-end (static-gather framing,
+scatter-add weighted overlap-add), for jit pipelines that must not leave the
+chip between transform and analysis.
 """
 
 from __future__ import annotations
@@ -20,10 +25,14 @@ from __future__ import annotations
 import warnings
 from typing import Optional, Sequence, Tuple
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
+from fourier_tpu.transform import Transform
+
 __all__ = ["stft", "istft", "check_nola", "check_cola", "periodogram",
-           "welch", "csd", "coherence", "spectrogram"]
+           "welch", "csd", "coherence", "spectrogram", "StftPlan"]
 
 
 def _get_window(window, nperseg: int) -> np.ndarray:
@@ -208,6 +217,202 @@ def stft(x, fs: float = 1.0, window="hann", nperseg: Optional[int] = None,
         t -= (nperseg / 2) / float(fs)
     # (..., time, freq) -> (..., freq, time), scipy's Zxx layout
     return f, t, np.moveaxis(z, -1, -2)
+
+
+# -- jittable device-resident STFT plan ---------------------------------------
+
+
+class StftPlan:
+    """Device-resident STFT: the whole pipeline inside one jit.
+
+    Unlike the host-side :func:`stft` (scipy-compatible framing in numpy),
+    this plan is a registered pytree whose ``stft_planar``/``istft_planar``
+    are fully traceable: framing is a static gather, the window is a
+    VMEM-resident constant, the transform is one batched rfft/fft (frames =
+    batch lanes), and the inverse is a scatter-add weighted overlap-add with
+    the OLA norm constant-folded by XLA. Semantics match
+    ``stft(x, boundary=None, padded=False)``: trailing samples that do not
+    fill a full segment are dropped.
+
+    ``onesided=True`` takes/returns real signal planes; ``onesided=False``
+    runs c2c on planar (re, im). c64 on TPU; complex128 runs the native-f64
+    path (CPU/x64 only — the dd path has no planar rfft batching here).
+    """
+
+    def __init__(self, nperseg: int, hop: Optional[int] = None,
+                 window="hann", nfft: Optional[int] = None,
+                 dtype=np.complex64, onesided: bool = True,
+                 scaling: Optional[str] = "spectrum", fs: float = 1.0):
+        self.nperseg = int(nperseg)
+        if self.nperseg < 1:
+            raise ValueError("nperseg must be >= 1")
+        self.hop = self.nperseg // 2 if hop is None else int(hop)
+        if not 1 <= self.hop <= self.nperseg:
+            raise ValueError("need 1 <= hop <= nperseg")
+        self.nfft = self.nperseg if nfft is None else int(nfft)
+        if self.nfft < self.nperseg:
+            raise ValueError("nfft must be >= nperseg")
+        self.onesided = bool(onesided)
+        self.scaling = scaling
+        self.fs = float(fs)
+        self.dtype = np.dtype(dtype)
+
+        win = _get_window(window, self.nperseg)
+        self._win_f64 = win
+        if scaling is None:
+            scale = 1.0
+        elif scaling == "spectrum":
+            scale = 1.0 / win.sum()
+        elif scaling == "psd":
+            scale = 1.0 / np.sqrt(self.fs * (win * win).sum())
+        else:
+            raise ValueError(
+                f"scaling must be None/'spectrum'/'psd', got {scaling!r}"
+            )
+        self.scale = float(scale)
+        rt = np.float32 if self.dtype == np.dtype(np.complex64) else np.float64
+        self.real_dtype = np.dtype(rt)
+        self.win = jnp.asarray((win * scale).astype(rt))
+        self.win_inv = jnp.asarray(win.astype(rt))  # unscaled, for WOLA
+        self.invertible = check_nola(win, self.nperseg, self.nperseg - self.hop)
+
+        if self.onesided:
+            from fourier_tpu.rfft import RfftPlan
+
+            self.inner = RfftPlan(self.nfft, self.dtype)
+            if getattr(self.inner, "dd", False):
+                raise ValueError(
+                    "StftPlan onesided needs a native (non-dd) rfft path; "
+                    "use complex64, or complex128 only with jax x64"
+                )
+        else:
+            from fourier_tpu.plan.planner import create_fft
+
+            self.inner = create_fft(self.nfft, self.dtype)
+
+    # -- geometry -------------------------------------------------------------
+
+    @property
+    def n_bins(self) -> int:
+        return self.nfft // 2 + 1 if self.onesided else self.nfft
+
+    def n_frames(self, n_samples: int) -> int:
+        if n_samples < self.nperseg:
+            raise ValueError(
+                f"signal length {n_samples} < nperseg {self.nperseg}"
+            )
+        return 1 + (n_samples - self.nperseg) // self.hop
+
+    def n_samples(self, n_frames: int) -> int:
+        return (int(n_frames) - 1) * self.hop + self.nperseg
+
+    def f(self) -> np.ndarray:
+        if self.onesided:
+            return np.arange(self.n_bins) * (self.fs / self.nfft)
+        return np.fft.fftfreq(self.nfft, 1.0 / self.fs)
+
+    def t(self, n_samples: int) -> np.ndarray:
+        k = self.n_frames(n_samples)
+        return (self.nperseg / 2 + self.hop * np.arange(k)) / self.fs
+
+    def _idx(self, n: int) -> np.ndarray:
+        k = self.n_frames(n)
+        return (
+            np.arange(self.nperseg)[None, :]
+            + self.hop * np.arange(k)[:, None]
+        )
+
+    # -- execution (traceable) -------------------------------------------------
+
+    def _frames(self, p, idx):
+        return jnp.asarray(p).astype(self.real_dtype)[..., idx] * self.win
+
+    def stft_planar(self, x, im=None):
+        """(..., n) plane(s) -> (..., n_frames, n_bins) spectrum planes.
+
+        Real one-sided: ``stft_planar(x) -> (re, im)``. Two-sided planar:
+        ``stft_planar(re, im) -> (re, im)``.
+        """
+        idx = self._idx(np.shape(x)[-1])
+        pad = [(0, 0)] * (np.ndim(x) + 1)
+        pad[-1] = (0, self.nfft - self.nperseg)
+        if self.onesided:
+            if im is not None:
+                raise ValueError("onesided plan takes a single real plane")
+            fr = jnp.pad(self._frames(x, idx), pad)
+            return self.inner.rfft_planar(fr)
+        fre = jnp.pad(self._frames(x, idx), pad)
+        fim = (
+            jnp.zeros_like(fre)
+            if im is None else jnp.pad(self._frames(im, idx), pad)
+        )
+        return self.inner.transform_planar(fre, fim, Transform.FFT)
+
+    def istft_planar(self, re, im):
+        """(..., n_frames, n_bins) planes -> signal plane(s), WOLA inverse."""
+        if not self.invertible:
+            raise ValueError(
+                "NOLA condition failed for this window/hop: not invertible"
+            )
+        k = np.shape(re)[-2]
+        n = self.n_samples(k)
+        idx = self._idx(n)
+        inv_scale = np.float64(1.0 / self.scale)
+        if self.onesided:
+            frames = self.inner.irfft_planar(re, im)
+        else:
+            fre, fim = self.inner.transform_planar(re, im, Transform.IFFT)
+        rt = self.real_dtype
+
+        def _ola(frames):
+            fr = frames[..., :self.nperseg] * (self.win_inv * rt.type(inv_scale))
+            out = jnp.zeros(frames.shape[:-2] + (n,), rt)
+            return out.at[..., idx].add(fr)
+
+        norm = jnp.zeros(n, rt).at[idx.reshape(-1)].add(
+            jnp.tile(
+                (self.win_inv * self.win_inv).astype(rt), (idx.shape[0],)
+            )
+        )
+        norm = jnp.where(norm > 1e-10, norm, 1.0)
+        if self.onesided:
+            return _ola(frames) / norm
+        return _ola(fre) / norm, _ola(fim) / norm
+
+    def __repr__(self):
+        side = "onesided" if self.onesided else "twosided"
+        return (
+            f"StftPlan(nperseg={self.nperseg}, hop={self.hop}, "
+            f"nfft={self.nfft}, {side}, dtype={self.dtype.name})"
+        )
+
+    # -- pytree ----------------------------------------------------------------
+
+    def tree_flatten(self):
+        aux = (
+            self.nperseg, self.hop, self.nfft, self.onesided, self.scaling,
+            self.fs, self.dtype.name, self.scale, self.invertible,
+            self._win_f64.tobytes(),
+        )
+        return (self.inner, self.win, self.win_inv), aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        (obj.nperseg, obj.hop, obj.nfft, obj.onesided, obj.scaling, obj.fs,
+         dtype_name, obj.scale, obj.invertible, win_bytes) = aux
+        obj.dtype = np.dtype(dtype_name)
+        obj.real_dtype = np.dtype(
+            np.float32 if obj.dtype == np.dtype(np.complex64) else np.float64
+        )
+        obj._win_f64 = np.frombuffer(win_bytes, np.float64)
+        obj.inner, obj.win, obj.win_inv = children
+        return obj
+
+
+jax.tree_util.register_pytree_node(
+    StftPlan, lambda p: p.tree_flatten(), StftPlan.tree_unflatten
+)
 
 
 # -- power-spectral-density family (scipy.signal.welch etc.) -----------------

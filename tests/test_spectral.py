@@ -250,3 +250,99 @@ def test_welch_batched():
     fw, pw = ss.welch(x.astype(np.float64), nperseg=256)
     assert p.shape == pw.shape
     assert _rel(p, pw) < 1e-4
+
+
+# -- device-resident StftPlan ----------------------------------------------------
+
+
+def test_stft_plan_matches_host_stft():
+    import jax
+
+    from fourier_tpu.spectral import StftPlan
+
+    rng = np.random.default_rng(RNG_SEED)
+    x = rng.standard_normal((3, 1000)).astype(np.float32)
+    plan = StftPlan(128, hop=64)
+    re, im = jax.jit(plan.stft_planar)(x)
+    got = np.asarray(re) + 1j * np.asarray(im)
+    # host stft with boundary=None, padded=False == the plan's semantics
+    fw, tw, zw = ss.stft(x.astype(np.float64), nperseg=128, noverlap=64,
+                         boundary=None, padded=False)
+    want = np.moveaxis(zw, -1, -2)  # plan layout: (..., frames, bins)
+    assert got.shape == want.shape
+    assert _rel(got, want) < 1e-5
+    np.testing.assert_allclose(plan.f(), fw)
+    np.testing.assert_allclose(plan.t(1000), tw)
+
+
+def test_stft_plan_roundtrip_jit():
+    import jax
+
+    from fourier_tpu.spectral import StftPlan
+
+    rng = np.random.default_rng(RNG_SEED)
+    plan = StftPlan(256, hop=64, window="hann")
+    n = plan.n_samples(20)
+    x = rng.standard_normal((2, n)).astype(np.float32)
+
+    @jax.jit
+    def roundtrip(p, x):
+        re, im = p.stft_planar(x)
+        return p.istft_planar(re, im)
+
+    back = np.asarray(roundtrip(plan, x))
+    # interior is exactly reconstructed; edges lack full window overlap
+    assert back.shape == x.shape
+    core = slice(256, n - 256)
+    assert _rel(back[:, core], x[:, core]) < 1e-5
+
+
+def test_stft_plan_twosided_complex():
+    import jax
+
+    from fourier_tpu.spectral import StftPlan
+
+    rng = np.random.default_rng(RNG_SEED)
+    plan = StftPlan(64, hop=16, onesided=False)
+    x = (rng.standard_normal(512) + 1j * rng.standard_normal(512)).astype(
+        np.complex64
+    )
+    re, im = jax.jit(plan.stft_planar)(
+        x.real.astype(np.float32), x.imag.astype(np.float32)
+    )
+    got = np.asarray(re) + 1j * np.asarray(im)
+    fw, tw, zw = ss.stft(x.astype(np.complex128), nperseg=64, noverlap=48,
+                         boundary=None, padded=False,
+                         return_onesided=False)
+    want = np.moveaxis(zw, -1, -2)
+    assert got.shape == want.shape
+    assert _rel(got, want) < 1e-5
+    # inverse roundtrip (twosided)
+    rre, rim = jax.jit(plan.istft_planar)(re, im)
+    back = np.asarray(rre) + 1j * np.asarray(rim)
+    core = slice(64, 512 - 64)
+    assert _rel(back[core], x[core].astype(np.complex128)) < 1e-5
+
+
+def test_stft_plan_pytree_and_validation():
+    import jax
+
+    from fourier_tpu.spectral import StftPlan
+
+    plan = StftPlan(64, hop=32, nfft=128)
+    leaves, treedef = jax.tree_util.tree_flatten(plan)
+    plan2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert repr(plan2) == repr(plan)
+    assert plan.n_bins == 65 and plan.n_frames(128) == 3
+    assert plan.n_samples(3) == 128
+    with pytest.raises(ValueError):
+        StftPlan(64, hop=0)
+    with pytest.raises(ValueError):
+        StftPlan(64, nfft=32)
+    with pytest.raises(ValueError):
+        plan.n_frames(32)
+    bad = StftPlan(64, hop=64, window=np.r_[np.ones(16), np.zeros(48)])
+    assert not bad.invertible
+    with pytest.raises(ValueError, match="NOLA"):
+        bad.istft_planar(np.zeros((2, 65), np.float32),
+                         np.zeros((2, 65), np.float32))
