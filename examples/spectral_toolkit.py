@@ -50,3 +50,37 @@ plan = ft.create_fft(1024, np.complex128, backend="dd")
 yd = plan.fft(xd)
 print(f"c128 dd fft rel err "
       f"{np.linalg.norm(yd - np.fft.fft(xd)) / np.linalg.norm(yd):.1e}")
+
+# Overlap-add convolution: the long axis is cut into blocks that become a
+# BATCH dimension — many small fused-kernel transforms instead of one giant
+# padded FFT.
+long_sig = rng.standard_normal(300_000).astype(np.float32)
+fir = np.blackman(401).astype(np.float32)
+filt = ft.oaconvolve(long_sig, fir, mode="same")
+print(f"oaconvolve: n={len(long_sig)} * k={len(fir)} -> {filt.shape}")
+
+# Spectral analysis: Welch PSD and a spectrogram, frames = batch dimension.
+fs = 1000.0
+tt = np.arange(60_000) / fs
+tone = (np.sin(2 * np.pi * 123 * tt)
+        + 0.5 * rng.standard_normal(tt.size)).astype(np.float32)
+f, p = ft.welch(tone, fs=fs, nperseg=1024)
+print(f"welch: peak at {f[np.argmax(p)]:.1f} Hz (expected 123)")
+f, t, z = ft.stft(tone, fs=fs, nperseg=512)
+_, rec = ft.istft(z, fs=fs, nperseg=512)
+print(f"stft/istft: {z.shape} spectrogram, roundtrip rel err "
+      f"{np.linalg.norm(rec[:tone.size] - tone) / np.linalg.norm(tone):.1e}")
+
+# Device-resident STFT: a pytree plan, traceable end-to-end (stays on-chip).
+import jax
+
+splan = ft.StftPlan(512, hop=256, fs=fs)
+sre, sim = jax.jit(splan.stft_planar)(tone)
+print(f"StftPlan (jitted): {sre.shape} frames x bins, "
+      f"peak {splan.f()[np.argmax(np.abs(np.asarray(sre) + 1j*np.asarray(sim)).mean(0))]:.1f} Hz")
+
+# Analytic signal + envelope, and Fourier resampling.
+env = np.abs(np.asarray(ft.hilbert(tone[:4096])))
+print(f"hilbert envelope mean {env.mean():.2f}")
+down = ft.resample(tone[:8192], 2048)
+print(f"resample: 8192 -> {down.shape}")
