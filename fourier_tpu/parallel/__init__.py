@@ -1,5 +1,6 @@
 from fourier_tpu.parallel.sharded import (
     Fft2dPlan,
+    Fft3dPlan,
     FourStepPlan,
     batched_irfft,
     batched_irfft_dd,
@@ -11,6 +12,7 @@ from fourier_tpu.parallel.sharded import (
 
 __all__ = [
     "Fft2dPlan",
+    "Fft3dPlan",
     "FourStepPlan",
     "batched_irfft",
     "batched_irfft_dd",

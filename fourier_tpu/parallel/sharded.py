@@ -5,7 +5,7 @@ parallelism or communication backend exists anywhere in it); this module is the
 net-new TPU capability mandated for the rebuild: the "communication backend" is
 XLA collectives over ICI, driven by ``shard_map`` — never hand-rolled transport.
 
-Three decompositions:
+Four decompositions:
 
 * **Batch sharding** (:func:`batched_transform` / :func:`batched_transform_dd`):
   the many-small-FFT regime. Each chip runs whole transforms on its batch
@@ -22,6 +22,11 @@ Three decompositions:
 
 * **2-D FFT** (:class:`Fft2dPlan`): row FFTs → all_to_all transpose → column
   FFTs, for e.g. the 4096x4096-on-v5e-8 regime (BASELINE.json config 5).
+
+* **3-D FFT** (:class:`Fft3dPlan`): pencil decomposition over a **2-D mesh**
+  (slab over a 1-D mesh) — per-axis local FFTs threaded through per-mesh-axis
+  all_to_alls, with a ``spectral_output``/``from_spectral`` layout contract
+  that halves the collective count of a filter-in-spectral-space roundtrip.
 
 Both sharded plan classes are first-class plans: registered pytrees with the
 ``FftPlan`` convenience surface (complex ``transform``/``fft``/``ifft``),
@@ -721,7 +726,248 @@ class Fft2dPlan(_ShardedPlanBase):
         return obj
 
 
-for _cls in (FourStepPlan, Fft2dPlan):
+# ---------------------------------------------------------------------------
+# 3-D FFT pencil-decomposed over a 2-D mesh (slab over a 1-D mesh)
+# ---------------------------------------------------------------------------
+
+
+class Fft3dPlan(_ShardedPlanBase):
+    """3-D c2c FFT of shape (n0, n1, n2), pencil-decomposed over a 2-D mesh.
+
+    The classic distributed 3-D FFT (the reference is single-node throughout,
+    SURVEY.md §2.6; this is the net-new scale mandate). Natural layout shards
+    n0 over mesh axis ``axes[0]`` and n1 over ``axes[1]``; each device owns a
+    pencil of whole n2 lines. Pipeline (all FFTs local, all communication
+    ``all_to_all`` over ICI):
+
+      1. FFT along n2 (pencils are whole).
+      2. all_to_all over ``axes[1]``: split n2, gather n1  → n1 whole.
+      3. FFT along n1.
+      4. all_to_all over ``axes[0]``: split n1, gather n0  → n0 whole.
+      5. FFT along n0.
+
+    This leaves the **spectral layout**: the same logical (k0, k1, k2) array
+    with k1 sharded over ``axes[0]`` and k2 over ``axes[1]``. By default two
+    mirror all_to_alls restore the natural layout; ``spectral_output=True``
+    skips them (2 collectives instead of 4). A spectral-space pipeline then
+    applies its pointwise filter there and runs the inverse with
+    ``from_spectral=True``, which consumes the spectral layout directly and
+    produces natural layout with 2 collectives — a filtered roundtrip costs
+    4 all_to_alls total instead of 8.
+
+    Passing a single mesh axis (``axes=("fft",)``) degenerates to the slab
+    decomposition: n1 is whole everywhere and step 2 disappears.
+
+    Planar input shape is (..., n0, n1, n2) with replicated leading batch
+    dims; dd (4-plane) c128 data is supported like every sharded plan.
+    """
+
+    def __init__(
+        self,
+        n0: int,
+        n1: int,
+        n2: int,
+        mesh: Mesh,
+        axes=("x", "y"),
+        dtype=np.complex64,
+        spectral_output: bool = False,
+        backend: str = "auto",
+    ):
+        self.n0, self.n1, self.n2 = int(n0), int(n1), int(n2)
+        self.size = self.n0 * self.n1 * self.n2
+        self.mesh = mesh
+        if isinstance(axes, str):
+            axes = (axes,)
+        self.axes = tuple(axes)
+        if len(self.axes) not in (1, 2):
+            raise ValueError(
+                f"axes must name 1 (slab) or 2 (pencil) mesh axes, got "
+                f"{self.axes!r}"
+            )
+        self.dtype = np.dtype(dtype)
+        self.spectral_output = bool(spectral_output)
+        self.backend = backend
+        self.plan0 = create_fft(self.n0, self.dtype, backend=backend)
+        self.plan1 = create_fft(self.n1, self.dtype, backend=backend)
+        self.plan2 = create_fft(self.n2, self.dtype, backend=backend)
+        sa = mesh.shape[self.axes[0]]
+        sb = mesh.shape[self.axes[1]] if len(self.axes) == 2 else 1
+        if self.n0 % sa or self.n1 % sa:
+            raise ValueError(
+                f"n0={self.n0} and n1={self.n1} must both be divisible by "
+                f"mesh axis {self.axes[0]!r} size {sa}"
+            )
+        if self.n1 % sb or self.n2 % sb:
+            raise ValueError(
+                f"n1={self.n1} and n2={self.n2} must both be divisible by "
+                f"mesh axis {self.axes[1]!r} size {sb}"
+            )
+
+    @property
+    def is_dd(self) -> bool:
+        return _is_dd_plan(self.plan2)
+
+    @property
+    def nshards(self) -> int:
+        s = self.mesh.shape[self.axes[0]]
+        if len(self.axes) == 2:
+            s *= self.mesh.shape[self.axes[1]]
+        return s
+
+    # -- local (per-shard) computation --------------------------------------
+
+    def _fft_axis(self, plan, planes: Tuple, ax: int, mode: Transform):
+        """Run a 1-D plan along (negative) axis `ax` of every plane."""
+        if ax == -1:
+            return _apply_plan(plan, planes, mode)
+        planes = tuple(jnp.swapaxes(p, ax, -1) for p in planes)
+        planes = _apply_plan(plan, planes, mode)
+        return tuple(jnp.swapaxes(p, ax, -1) for p in planes)
+
+    def _local_steps(self, planes: Tuple, transform: Transform,
+                     from_spectral: bool):
+        forward = transform.is_forward
+        # Per-axis passes are unscaled; normalization applied once, globally.
+        mode = Transform.FFT if forward else Transform.UNSCALED_IFFT
+        nb = planes[0].ndim - 3
+        ax_a = self.axes[0]
+        ax_b = self.axes[1] if len(self.axes) == 2 else None
+        if from_spectral:
+            # Spectral layout in (k0, k1_a, k2_b): mirror pipeline, natural
+            # layout out with only 2 collectives.
+            planes = self._fft_axis(self.plan0, planes, -3, mode)
+            planes = tuple(_a2a(p, ax_a, nb, nb + 1) for p in planes)
+            planes = self._fft_axis(self.plan1, planes, -2, mode)
+            if ax_b is not None:
+                planes = tuple(_a2a(p, ax_b, nb + 1, nb + 2) for p in planes)
+            planes = _apply_plan(self.plan2, planes, mode)
+            return _scale_planes(planes, transform.scale(self.size))
+        # Natural layout in (n0_a, n1_b, n2).
+        planes = _apply_plan(self.plan2, planes, mode)
+        if ax_b is not None:
+            planes = tuple(_a2a(p, ax_b, nb + 2, nb + 1) for p in planes)
+        planes = self._fft_axis(self.plan1, planes, -2, mode)
+        planes = tuple(_a2a(p, ax_a, nb + 1, nb) for p in planes)
+        planes = self._fft_axis(self.plan0, planes, -3, mode)
+        planes = _scale_planes(planes, transform.scale(self.size))
+        if not self.spectral_output:
+            # Mirror collectives restore the natural (n0_a, n1_b, n2) layout.
+            planes = tuple(_a2a(p, ax_a, nb, nb + 1) for p in planes)
+            if ax_b is not None:
+                planes = tuple(_a2a(p, ax_b, nb + 1, nb + 2) for p in planes)
+        return planes
+
+    def _planar_dispatch(self, planes: Tuple, transform: Transform,
+                         from_spectral: bool = False):
+        xp_planes = tuple(jnp.asarray(p) for p in planes)
+        if xp_planes[0].shape[-3:] != (self.n0, self.n1, self.n2):
+            raise ValueError(
+                f"trailing axes {xp_planes[0].shape[-3:]} do not match plan "
+                f"shape ({self.n0}, {self.n1}, {self.n2})"
+            )
+        nb = xp_planes[0].ndim - 3
+        bspec = (None,) * nb
+        ax_b = self.axes[1] if len(self.axes) == 2 else None
+        natural = P(*bspec, self.axes[0], ax_b, None)
+        spectral = P(*bspec, None, self.axes[0], ax_b)
+        in_spec = spectral if from_spectral else natural
+        out_spec = (
+            spectral
+            if (self.spectral_output and not from_spectral)
+            else natural
+        )
+        np_ = len(xp_planes)
+        fn = shard_map(
+            functools.partial(
+                self._local_steps, transform=transform,
+                from_spectral=from_spectral,
+            ),
+            mesh=self.mesh,
+            in_specs=((in_spec,) * np_,),
+            out_specs=(out_spec,) * np_,
+        )
+        return fn(xp_planes)
+
+    # -- planar surface with the spectral-layout flag ------------------------
+
+    def transform_planar(self, re, im, transform: Transform = Transform.FFT,
+                         from_spectral: bool = False):
+        """2-plane planar transform; ``from_spectral=True`` consumes the
+        spectral layout produced by ``spectral_output=True`` (the logical
+        array is identical — only the device layout and collective count
+        differ)."""
+        if self.is_dd:
+            raise TypeError(
+                "this plan uses the 4-plane double-word c128 representation; "
+                "call transform_planar_dd(re_hi, re_lo, im_hi, im_lo)"
+            )
+        return self._planar_dispatch(
+            (re, im), Transform(transform), from_spectral
+        )
+
+    def transform_planar_dd(self, re_hi, re_lo, im_hi, im_lo,
+                            transform: Transform = Transform.FFT,
+                            from_spectral: bool = False):
+        """4-plane dd planar transform (c128 on f32-only hardware)."""
+        if not self.is_dd:
+            raise TypeError(
+                "this plan uses 2-plane planar data; call transform_planar"
+            )
+        return self._planar_dispatch(
+            (re_hi, re_lo, im_hi, im_lo), Transform(transform), from_spectral
+        )
+
+    # -- complex convenience ------------------------------------------------
+
+    def transform(self, x, transform: Transform = Transform.FFT,
+                  from_spectral: bool = False):
+        """Out-of-place 3-D transform of the (..., n0, n1, n2) complex array."""
+        transform = Transform(transform)
+        x = np.asarray(x)
+        if x.shape[-3:] != (self.n0, self.n1, self.n2):
+            raise ValueError(
+                f"trailing axes {x.shape[-3:]} != plan shape "
+                f"({self.n0}, {self.n1}, {self.n2})"
+            )
+        planes = _split_complex(x, self.nplanes, self.real_dtype)
+        out = self._planar_dispatch(planes, transform, from_spectral)
+        return _join_complex(out, self.dtype)
+
+    def __repr__(self):
+        return (
+            f"Fft3dPlan(n0={self.n0}, n1={self.n1}, n2={self.n2}, "
+            f"axes={self.axes!r}, dtype={self.dtype.name}, "
+            f"spectral_output={self.spectral_output})"
+        )
+
+    # -- pytree -------------------------------------------------------------
+
+    def tree_flatten(self):
+        children = (self.plan0, self.plan1, self.plan2)
+        aux = (
+            self.n0,
+            self.n1,
+            self.n2,
+            self.axes,
+            self.dtype.name,
+            self.spectral_output,
+            self.backend,
+            self.mesh,
+        )
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        (obj.n0, obj.n1, obj.n2, obj.axes, dtype_name, obj.spectral_output,
+         obj.backend, obj.mesh) = aux
+        obj.dtype = np.dtype(dtype_name)
+        obj.size = obj.n0 * obj.n1 * obj.n2
+        obj.plan0, obj.plan1, obj.plan2 = children
+        return obj
+
+
+for _cls in (FourStepPlan, Fft2dPlan, Fft3dPlan):
     jax.tree_util.register_pytree_node(
         _cls, lambda p: p.tree_flatten(), _cls.tree_unflatten
     )

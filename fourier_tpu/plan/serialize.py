@@ -32,7 +32,7 @@ _FORMAT_VERSION = 2
 
 def _plan_registry():
     """Explicit allowlist of reconstructable plan classes (name -> class)."""
-    from fourier_tpu.parallel.sharded import Fft2dPlan, FourStepPlan
+    from fourier_tpu.parallel.sharded import Fft2dPlan, Fft3dPlan, FourStepPlan
     from fourier_tpu.plan.autosort import AutosortPlan
     from fourier_tpu.plan.bluestein import BluesteinPlan
     from fourier_tpu.plan.bluestein_fused import VpuBluesteinPlan
@@ -62,6 +62,7 @@ def _plan_registry():
             VpuDdFftPlan,
             FourStepPlan,
             Fft2dPlan,
+            Fft3dPlan,
             RfftPlan,
         )
     }

@@ -14,6 +14,7 @@ import fourier_tpu as ft
 from fourier_tpu import Transform
 from fourier_tpu.parallel.sharded import (
     Fft2dPlan,
+    Fft3dPlan,
     FourStepPlan,
     batched_transform,
     batched_transform_dd,
@@ -384,6 +385,122 @@ def test_dd_plane_api_mismatch_raises():
         plan_c64.transform_planar_dd(
             *(np.zeros((16, 16), np.float32),) * 4
         )
+
+
+# ---------------------------------------------------------------------------
+# 3-D pencil/slab decomposition over a 2-D (or 1-D) mesh
+# ---------------------------------------------------------------------------
+
+
+def _mesh2(shape=(2, 4), axes=("x", "y")):
+    devs = np.array(jax.devices()[: shape[0] * shape[1]]).reshape(shape)
+    return Mesh(devs, axes)
+
+
+@pytest.mark.parametrize("dims", [(8, 8, 8), (4, 8, 16)])
+@pytest.mark.parametrize("mode", [Transform.FFT, Transform.IFFT])
+def test_fft3d_pencil_vs_numpy(dims, mode):
+    rng = np.random.default_rng(RNG_SEED)
+    mesh = _mesh2()
+    n0, n1, n2 = dims
+    x = (
+        rng.standard_normal(dims) + 1j * rng.standard_normal(dims)
+    ).astype(np.complex64)
+    plan = Fft3dPlan(n0, n1, n2, mesh)
+    got = plan.transform(x, mode)
+    want = np.fft.fftn(x) if mode is Transform.FFT else np.fft.ifftn(x)
+    assert got.shape == dims
+    assert np.max(np.abs(got - want)) < 1e-3 * max(1.0, np.max(np.abs(want)))
+
+
+def test_fft3d_spectral_layout_roundtrip():
+    """spectral_output + from_spectral: same logical arrays, fewer collectives."""
+    rng = np.random.default_rng(RNG_SEED)
+    mesh = _mesh2()
+    dims = (8, 8, 8)
+    x = (
+        rng.standard_normal(dims) + 1j * rng.standard_normal(dims)
+    ).astype(np.complex64)
+    natural = Fft3dPlan(*dims, mesh)
+    spectral = Fft3dPlan(*dims, mesh, spectral_output=True)
+    # The spectral-layout output is the SAME logical spectrum.
+    ys = spectral.fft(x)
+    yn = natural.fft(x)
+    np.testing.assert_allclose(ys, yn, atol=1e-4 * np.max(np.abs(yn)))
+    # Inverse consuming the spectral layout directly returns the signal.
+    back = spectral.transform(ys, Transform.IFFT, from_spectral=True)
+    assert np.max(np.abs(back - x)) < 1e-3 * np.max(np.abs(x))
+
+
+def test_fft3d_slab_one_mesh_axis():
+    rng = np.random.default_rng(RNG_SEED)
+    mesh = _mesh()
+    dims = (16, 16, 4)
+    x = (
+        rng.standard_normal(dims) + 1j * rng.standard_normal(dims)
+    ).astype(np.complex64)
+    plan = Fft3dPlan(*dims, mesh, axes=("fft",))
+    got = plan.fft(x)
+    want = np.fft.fftn(x)
+    assert np.max(np.abs(got - want)) < 1e-3 * np.max(np.abs(want))
+
+
+def test_fft3d_batch_dims_and_planar_api():
+    rng = np.random.default_rng(RNG_SEED)
+    mesh = _mesh2()
+    dims = (8, 8, 8)
+    x = (
+        rng.standard_normal((2,) + dims) + 1j * rng.standard_normal((2,) + dims)
+    ).astype(np.complex64)
+    plan = Fft3dPlan(*dims, mesh)
+    ore, oim = plan.fft_planar(
+        np.real(x).astype(np.float32), np.imag(x).astype(np.float32)
+    )
+    got = np.asarray(ore) + 1j * np.asarray(oim)
+    want = np.fft.fftn(x, axes=(-3, -2, -1))
+    assert got.shape == x.shape
+    assert np.max(np.abs(got - want)) < 1e-3 * np.max(np.abs(want))
+    back = plan.ifft(got)
+    np.testing.assert_allclose(back, x, atol=2e-4 * np.max(np.abs(x)))
+
+
+def test_fft3d_c128_dd():
+    rng = np.random.default_rng(RNG_SEED)
+    mesh = _mesh2()
+    dims = (16, 8, 8)
+    x = _rand_c128(dims, rng)
+    plan = Fft3dPlan(*dims, mesh, dtype=np.complex128, backend="dd")
+    assert plan.is_dd and plan.nplanes == 4
+    got = plan.fft(x)
+    want = np.fft.fftn(x)
+    assert np.linalg.norm(got - want) < 1e-12 * np.linalg.norm(want)
+
+
+def test_fft3d_validation_and_pytree(tmp_path):
+    from fourier_tpu.plan.serialize import load_plan, save_plan
+
+    mesh = _mesh2()
+    with pytest.raises(ValueError):
+        Fft3dPlan(7, 8, 8, mesh)  # n0=7 not divisible by |x|=2
+    with pytest.raises(ValueError):
+        Fft3dPlan(8, 8, 6, mesh)  # n2=6 not divisible by |y|=4
+    with pytest.raises(ValueError):
+        Fft3dPlan(8, 8, 8, mesh, axes=("x", "y", "z"))
+    plan = Fft3dPlan(8, 8, 8, mesh)
+    leaves, treedef = jax.tree_util.tree_flatten(plan)
+    again = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert again.size == 512 and again.mesh is mesh and again.axes == ("x", "y")
+    path = str(tmp_path / "fft3d.npz")
+    save_plan(plan, path)
+    with pytest.raises(ValueError):
+        load_plan(path)  # needs a mesh to rebind
+    loaded = load_plan(path, mesh=mesh)
+    rng = np.random.default_rng(RNG_SEED)
+    re, im = _rand_planar((8, 8, 8), rng)
+    np.testing.assert_array_equal(
+        np.asarray(plan.fft_planar(re, im)[0]),
+        np.asarray(loaded.fft_planar(re, im)[0]),
+    )
 
 
 # -- batch-sharded real transforms ---------------------------------------------
