@@ -83,10 +83,13 @@ def transform(x, mode: Transform, dtype=None):
     return _plan_for(x.shape[-1], dtype).transform(x, mode)
 
 
-def _fft_1d(x, n, norm, dtype, forward: bool):
+def _fft_1d(x, n, norm, dtype, forward: bool, axis: int = -1):
     from fourier_tpu.ndim import _crop_pad_axis, _norm_mode
 
     x = _np.asarray(x)
+    if axis not in (-1, x.ndim - 1):
+        out = _fft_1d(_np.moveaxis(x, axis, -1), n, norm, dtype, forward)
+        return _np.moveaxis(out, -1, axis)
     if n is not None:
         x = _crop_pad_axis(x, int(n), x.ndim - 1)
     mode, fwd_scale = _norm_mode(norm, forward)
@@ -94,16 +97,40 @@ def _fft_1d(x, n, norm, dtype, forward: bool):
     return out / x.shape[-1] if fwd_scale else out
 
 
-def fft(x, n=None, norm=None, dtype=None):
-    """Forward FFT over the last axis (numpy.fft.fft compatibility:
+def fft(x, n=None, norm=None, dtype=None, axis: int = -1):
+    """Forward FFT over ``axis`` (numpy.fft.fft compatibility:
     ``n`` crops/zero-pads, ``norm`` is backward/ortho/forward). Plans
     implicitly, cached per size."""
-    return _fft_1d(x, n, norm, dtype, forward=True)
+    return _fft_1d(x, n, norm, dtype, forward=True, axis=axis)
 
 
-def ifft(x, n=None, norm=None, dtype=None):
-    """Inverse FFT over the last axis (numpy.fft.ifft compatibility)."""
-    return _fft_1d(x, n, norm, dtype, forward=False)
+def ifft(x, n=None, norm=None, dtype=None, axis: int = -1):
+    """Inverse FFT over ``axis`` (numpy.fft.ifft compatibility)."""
+    return _fft_1d(x, n, norm, dtype, forward=False, axis=axis)
+
+
+import contextlib as _contextlib
+
+_workers = 1
+
+
+@_contextlib.contextmanager
+def set_workers(workers: int):
+    """scipy.fft.set_workers-compatible context manager (accepted for API
+    compatibility). Host-thread worker counts do not apply here: parallelism
+    is XLA's — batched transforms vectorize over lanes/cores on one chip and
+    shard over a mesh via :mod:`fourier_tpu.parallel`."""
+    global _workers
+    prev, _workers = _workers, int(workers)
+    try:
+        yield
+    finally:
+        _workers = prev
+
+
+def get_workers() -> int:
+    """scipy.fft.get_workers-compatible accessor (see :func:`set_workers`)."""
+    return _workers
 
 
 def transform_planar(re, im, mode: Transform, dtype=None):
@@ -195,6 +222,8 @@ __all__ = [
     "RfftPlan",
     "save_plan",
     "summarize",
+    "set_workers",
+    "get_workers",
     "transform",
     "zoom_fft",
     "transform_planar",

@@ -558,13 +558,17 @@ def _infer_cdtype(x: np.ndarray):
 
 
 def rfft(x, n: Optional[int] = None, norm: Optional[str] = None,
-         dtype=None) -> np.ndarray:
-    """One-sided FFT of a real array over the last axis (numpy.fft.rfft:
+         dtype=None, axis: int = -1) -> np.ndarray:
+    """One-sided FFT of a real array over ``axis`` (numpy.fft.rfft:
     ``n`` crops/zero-pads the input, ``norm`` is backward/ortho/forward).
     ``dtype`` defaults to the numpy promotion (see ``_infer_cdtype``)."""
     from fourier_tpu.ndim import _crop_pad_axis
 
     x = np.asarray(x)
+    if axis not in (-1, x.ndim - 1):
+        return np.moveaxis(
+            rfft(np.moveaxis(x, axis, -1), n, norm, dtype), -1, axis
+        )
     if dtype is None:
         dtype = _infer_cdtype(x)
     if n is not None:
@@ -575,11 +579,15 @@ def rfft(x, n: Optional[int] = None, norm: Optional[str] = None,
 
 
 def irfft(x, n: Optional[int] = None, norm: Optional[str] = None,
-          dtype=None) -> np.ndarray:
+          dtype=None, axis: int = -1) -> np.ndarray:
     """Inverse of :func:`rfft` (numpy.fft.irfft); ``n`` defaults to even
     2*(len-1). ``dtype`` defaults to the numpy promotion: complex128 input
     -> f64 output path, everything else -> complex64."""
     x = np.asarray(x)
+    if axis not in (-1, x.ndim - 1):
+        return np.moveaxis(
+            irfft(np.moveaxis(x, axis, -1), n, norm, dtype), -1, axis
+        )
     if dtype is None:
         dtype = _infer_cdtype(x)
     if n is None:
@@ -687,13 +695,17 @@ def irfft2(x, shape: Optional[Sequence[int]] = None,
 
 
 def hfft(x, n: Optional[int] = None, norm: Optional[str] = None,
-         dtype=None) -> np.ndarray:
+         dtype=None, axis: int = -1) -> np.ndarray:
     """FFT of Hermitian-symmetric input -> real spectrum (numpy.fft.hfft).
 
     ``hfft(a, n) == irfft(conj(a), n) * n``: the roles of time and frequency
     domains swap relative to rfft.
     """
     x = np.asarray(x)
+    if axis not in (-1, x.ndim - 1):
+        return np.moveaxis(
+            hfft(np.moveaxis(x, axis, -1), n, norm, dtype), -1, axis
+        )
     if dtype is None:
         dtype = _infer_cdtype(x)
     if n is None:
@@ -709,10 +721,15 @@ def hfft(x, n: Optional[int] = None, norm: Optional[str] = None,
     return out if s == 1.0 else out * s
 
 
-def ihfft(x, norm: Optional[str] = None, dtype=None) -> np.ndarray:
+def ihfft(x, norm: Optional[str] = None, dtype=None,
+          axis: int = -1) -> np.ndarray:
     """Inverse of :func:`hfft` (numpy.fft.ihfft): real input -> one-sided
     Hermitian spectrum, ``conj(rfft(x)) / n``."""
     x = np.asarray(x)
+    if axis not in (-1, x.ndim - 1):
+        return np.moveaxis(
+            ihfft(np.moveaxis(x, axis, -1), norm, dtype), -1, axis
+        )
     if dtype is None:
         dtype = _infer_cdtype(x)
     n = x.shape[-1]
