@@ -29,7 +29,11 @@ from fourier_tpu.plan import (
     create_fft_f32,
     create_fft_f64,
     export_compiled,
+    export_wisdom,
+    forget_wisdom,
+    import_wisdom,
     load_compiled,
+    measure_fft,
 )
 from fourier_tpu.plan.serialize import load_plan, plan_to_bytes, save_plan
 from fourier_tpu.plan.summary import describe, summarize
@@ -163,6 +167,10 @@ __all__ = [
     "dct",
     "dctn",
     "export_compiled",
+    "export_wisdom",
+    "forget_wisdom",
+    "import_wisdom",
+    "measure_fft",
     "load_compiled",
     "describe",
     "dst",

@@ -29,6 +29,13 @@ from fourier_tpu.plan.aot import (  # noqa: E402
     export_compiled,
     load_compiled,
 )
+from fourier_tpu.plan.measure import (  # noqa: E402
+    MeasureResult,
+    export_wisdom,
+    forget_wisdom,
+    import_wisdom,
+    measure_fft,
+)
 
 __all__ += [
     "MxuFftPlan",
@@ -37,4 +44,9 @@ __all__ += [
     "CompiledFft",
     "export_compiled",
     "load_compiled",
+    "MeasureResult",
+    "export_wisdom",
+    "forget_wisdom",
+    "import_wisdom",
+    "measure_fft",
 ]

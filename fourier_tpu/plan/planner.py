@@ -41,7 +41,7 @@ from fourier_tpu.plan.mxu import MxuFftPlan
 _PLAN_CACHE: "OrderedDict[Tuple[int, str, str], FftPlan]" = OrderedDict()
 _PLAN_CACHE_MAX = 256
 
-BACKENDS = ("auto", "mxu", "stockham", "dd", "vpu")
+BACKENDS = ("auto", "mxu", "stockham", "dd", "vpu", "measure")
 
 
 def _resolve_backend(backend: str, dtype: np.dtype) -> str:
@@ -185,6 +185,23 @@ def create_fft(
     dtype = np.dtype(dtype)
     if dtype not in (np.dtype(np.complex64), np.dtype(np.complex128)):
         raise ValueError(f"unsupported dtype {dtype}; use complex64 or complex128")
+    if backend == "measure":
+        # Measured planning (plan/measure.py): consult wisdom, else time the
+        # candidate families now and remember the winner.
+        from fourier_tpu.plan import measure as _measure
+
+        key = (int(size), dtype.name, "measure")
+        if cache and key in _PLAN_CACHE:
+            _PLAN_CACHE.move_to_end(key)
+            return _PLAN_CACHE[key]
+        plan = _measure.plan_from_wisdom(size, dtype)
+        if plan is None:
+            plan = _measure.measure_fft(size, dtype).plan
+        if cache:
+            _PLAN_CACHE[key] = plan
+            while len(_PLAN_CACHE) > _PLAN_CACHE_MAX:
+                _PLAN_CACHE.popitem(last=False)
+        return plan
     resolved = _resolve_backend(backend, dtype)
     if resolved in ("mxu", "vpu") and dtype != np.dtype(np.complex64):
         raise ValueError(
