@@ -2,6 +2,7 @@ from fourier_tpu.parallel.sharded import (
     Fft2dPlan,
     Fft3dPlan,
     FourStepPlan,
+    Rfft3dPlan,
     batched_irfft,
     batched_irfft_dd,
     batched_rfft,
@@ -14,6 +15,7 @@ __all__ = [
     "Fft2dPlan",
     "Fft3dPlan",
     "FourStepPlan",
+    "Rfft3dPlan",
     "batched_irfft",
     "batched_irfft_dd",
     "batched_rfft",

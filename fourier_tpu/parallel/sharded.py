@@ -28,6 +28,11 @@ Four decompositions:
   all_to_alls, with a ``spectral_output``/``from_spectral`` layout contract
   that halves the collective count of a filter-in-spectral-space roundtrip.
 
+* **Real-input 3-D FFT** (:class:`Rfft3dPlan`): the pseudospectral-solver
+  kernel — r2c along the pencils first, so every collective and c2c leg
+  runs on the halved one-sided spectrum (padded to shard evenly); same
+  spectral-layout contract as :class:`Fft3dPlan`.
+
 Both sharded plan classes are first-class plans: registered pytrees with the
 ``FftPlan`` convenience surface (complex ``transform``/``fft``/``ifft``),
 arbitrary leading batch dimensions, save/load support
@@ -967,7 +972,312 @@ class Fft3dPlan(_ShardedPlanBase):
         return obj
 
 
-for _cls in (FourStepPlan, Fft2dPlan, Fft3dPlan):
+# ---------------------------------------------------------------------------
+# Real-input 3-D FFT, pencil-decomposed (the pseudospectral-solver kernel)
+# ---------------------------------------------------------------------------
+
+
+class Rfft3dPlan:
+    """Real-input 3-D FFT of shape (n0, n1, n2), pencil-decomposed.
+
+    The distributed r2c/c2r transform at the heart of pseudospectral solvers
+    (CFD, PME electrostatics, cosmology): a real field in, the one-sided
+    spectrum out, at roughly **half** the compute and interconnect traffic of
+    the c2c :class:`Fft3dPlan` (the r2c leg halves the data before any
+    collective runs). Reference parity: none — the reference has no real
+    transforms and no parallelism; this is the net-new scale mandate
+    (SURVEY.md §5) composed with the repo's own rfft surface.
+
+    Pipeline (mesh axes ``a = axes[0]``, ``b = axes[1]``; all FFTs local, all
+    communication ``all_to_all`` over ICI):
+
+      1. r2c FFT along n2 (pencils whole): n2 real → n2h = n2//2+1 bins,
+         zero-padded to ``n2p`` = next multiple of the ``b`` axis size so the
+         spectral axis shards evenly (static shapes, uniform shards — the
+         TPU-native answer to n2h's non-divisibility; pad bins stay zero
+         through the remaining legs and the inverse crops them).
+      2. all_to_all over ``b``: split k2, gather n1.
+      3. c2c FFT along n1.
+      4. all_to_all over ``a``: split n1, gather n0.
+      5. c2c FFT along n0.
+
+    This leaves the **spectral layout** (k0 whole, k1 sharded over ``a``, k2
+    over ``b``); by default two mirror all_to_alls restore the natural
+    layout, ``spectral_output=True`` skips them and the inverse's
+    ``from_spectral=True`` consumes the spectral layout directly — a
+    filter-in-spectral-space roundtrip costs 4 collectives instead of 8,
+    exactly like :class:`Fft3dPlan`.
+
+    Logical output is (..., n0, n1, n2p) planar with bins ``[..., :out_len]``
+    meaningful (``out_len`` = n2h, numpy's rfftn convention) and the pad tail
+    zero; the complex conveniences :meth:`rfft`/:meth:`irfft` crop/pad at the
+    host boundary so they match ``np.fft.rfftn``/``irfftn`` shapes exactly.
+    Single mesh axis (``axes=("fft",)``) degenerates to the slab
+    decomposition with zero padding (n2p = n2h). dd (limb-planar) c128 is
+    supported like every sharded plan: 2 real limb planes in, 4 spectrum
+    planes out.
+    """
+
+    def __init__(
+        self,
+        n0: int,
+        n1: int,
+        n2: int,
+        mesh: Mesh,
+        axes=("x", "y"),
+        dtype=np.complex64,
+        spectral_output: bool = False,
+        backend: str = "auto",
+    ):
+        self.n0, self.n1, self.n2 = int(n0), int(n1), int(n2)
+        self.size = self.n0 * self.n1 * self.n2
+        self.mesh = mesh
+        if isinstance(axes, str):
+            axes = (axes,)
+        self.axes = tuple(axes)
+        if len(self.axes) not in (1, 2):
+            raise ValueError(
+                f"axes must name 1 (slab) or 2 (pencil) mesh axes, got "
+                f"{self.axes!r}"
+            )
+        self.dtype = np.dtype(dtype)
+        self.spectral_output = bool(spectral_output)
+        self.backend = backend
+        from fourier_tpu.rfft import RfftPlan
+
+        self.rplan = RfftPlan(self.n2, self.dtype, backend=backend)
+        self.plan0 = create_fft(self.n0, self.dtype, backend=backend)
+        self.plan1 = create_fft(self.n1, self.dtype, backend=backend)
+        sa = mesh.shape[self.axes[0]]
+        sb = mesh.shape[self.axes[1]] if len(self.axes) == 2 else 1
+        if self.n0 % sa or self.n1 % sa:
+            raise ValueError(
+                f"n0={self.n0} and n1={self.n1} must both be divisible by "
+                f"mesh axis {self.axes[0]!r} size {sa}"
+            )
+        if self.n1 % sb:
+            raise ValueError(
+                f"n1={self.n1} must be divisible by mesh axis "
+                f"{self.axes[1]!r} size {sb}"
+            )
+        self.out_len = self.n2 // 2 + 1  # meaningful one-sided bins (numpy)
+        self.n2p = sb * ((self.out_len + sb - 1) // sb)  # padded/sharded len
+
+    @property
+    def real_dtype(self) -> np.dtype:
+        return np.dtype(np.float32 if self.dtype == np.complex64 else np.float64)
+
+    @property
+    def is_dd(self) -> bool:
+        return _is_dd_plan(self.plan0)
+
+    @property
+    def nshards(self) -> int:
+        s = self.mesh.shape[self.axes[0]]
+        if len(self.axes) == 2:
+            s *= self.mesh.shape[self.axes[1]]
+        return s
+
+    def __len__(self) -> int:
+        return self.size
+
+    # -- local (per-shard) computation --------------------------------------
+
+    def _fft_axis(self, plan, planes: Tuple, ax: int, mode: Transform):
+        if ax == -1:
+            return _apply_plan(plan, planes, mode)
+        planes = tuple(jnp.swapaxes(p, ax, -1) for p in planes)
+        planes = _apply_plan(plan, planes, mode)
+        return tuple(jnp.swapaxes(p, ax, -1) for p in planes)
+
+    def _local_fwd(self, planes: Tuple):
+        nb = planes[0].ndim - 3
+        ax_a = self.axes[0]
+        ax_b = self.axes[1] if len(self.axes) == 2 else None
+        # 1) r2c along whole pencils; zero-pad k2 to the shardable length.
+        if len(planes) == 2:  # dd limb planes
+            planes = self.rplan.rfft_planar_dd(planes[0], planes[1])
+        else:
+            planes = self.rplan.rfft_planar(planes[0])
+        pad = self.n2p - self.out_len
+        if pad:
+            cfg = [(0, 0)] * planes[0].ndim
+            cfg[-1] = (0, pad)
+            planes = tuple(jnp.pad(p, cfg) for p in planes)
+        # 2-5) the two c2c legs threaded through per-mesh-axis all_to_alls.
+        if ax_b is not None:
+            planes = tuple(_a2a(p, ax_b, nb + 2, nb + 1) for p in planes)
+        planes = self._fft_axis(self.plan1, planes, -2, Transform.FFT)
+        planes = tuple(_a2a(p, ax_a, nb + 1, nb) for p in planes)
+        planes = self._fft_axis(self.plan0, planes, -3, Transform.FFT)
+        if not self.spectral_output:
+            planes = tuple(_a2a(p, ax_a, nb, nb + 1) for p in planes)
+            if ax_b is not None:
+                planes = tuple(_a2a(p, ax_b, nb + 1, nb + 2) for p in planes)
+        return planes
+
+    def _local_inv(self, planes: Tuple, from_spectral: bool):
+        nb = planes[0].ndim - 3
+        ax_a = self.axes[0]
+        ax_b = self.axes[1] if len(self.axes) == 2 else None
+        if not from_spectral:
+            # natural (k0_a, k1_b, k2p) -> spectral (k0, k1_a, k2p_b)
+            if ax_b is not None:
+                planes = tuple(_a2a(p, ax_b, nb + 2, nb + 1) for p in planes)
+            planes = tuple(_a2a(p, ax_a, nb + 1, nb) for p in planes)
+        planes = self._fft_axis(self.plan0, planes, -3, Transform.UNSCALED_IFFT)
+        planes = tuple(_a2a(p, ax_a, nb, nb + 1) for p in planes)
+        planes = self._fft_axis(self.plan1, planes, -2, Transform.UNSCALED_IFFT)
+        if ax_b is not None:
+            planes = tuple(_a2a(p, ax_b, nb + 1, nb + 2) for p in planes)
+        # One global 1/(n0*n1); the c2r leg carries its own 1/n2 (numpy).
+        planes = _scale_planes(planes, 1.0 / (self.n0 * self.n1))
+        planes = tuple(p[..., : self.out_len] for p in planes)
+        if len(planes) == 4:
+            return self.rplan.irfft_planar_dd(*planes)
+        return (self.rplan.irfft_planar(*planes),)
+
+    # -- sharded dispatch ----------------------------------------------------
+
+    def _specs(self, nb: int):
+        bspec = (None,) * nb
+        ax_b = self.axes[1] if len(self.axes) == 2 else None
+        natural = P(*bspec, self.axes[0], ax_b, None)
+        spectral = P(*bspec, None, self.axes[0], ax_b)
+        return natural, spectral
+
+    def rfft_planar(self, *limbs) -> Tuple:
+        """Real field planes in (1 plane; dd: 2 limb planes), one-sided
+        spectrum planes out (2; dd: 4), trailing axis padded to ``n2p``."""
+        planes = tuple(jnp.asarray(p) for p in limbs)
+        want = 2 if self.is_dd else 1
+        if len(planes) != want:
+            raise ValueError(
+                f"expected {want} real input plane(s) for this plan, got "
+                f"{len(planes)}"
+            )
+        if planes[0].shape[-3:] != (self.n0, self.n1, self.n2):
+            raise ValueError(
+                f"trailing axes {planes[0].shape[-3:]} != plan shape "
+                f"({self.n0}, {self.n1}, {self.n2})"
+            )
+        nb = planes[0].ndim - 3
+        natural, spectral = self._specs(nb)
+        out_spec = spectral if self.spectral_output else natural
+        nout = 2 * len(planes)
+        fn = shard_map(
+            self._local_fwd,
+            mesh=self.mesh,
+            in_specs=((natural,) * len(planes),),
+            out_specs=(out_spec,) * nout,
+        )
+        return fn(planes)
+
+    def irfft_planar(self, *planes, from_spectral: bool = False):
+        """One-sided spectrum planes in (trailing axis ``n2p``), real field
+        plane(s) out. ``from_spectral=True`` consumes the layout produced by
+        ``spectral_output=True``."""
+        planes = tuple(jnp.asarray(p) for p in planes)
+        want = 4 if self.is_dd else 2
+        if len(planes) != want:
+            raise ValueError(
+                f"expected {want} spectrum plane(s) for this plan, got "
+                f"{len(planes)}"
+            )
+        if planes[0].shape[-3:] != (self.n0, self.n1, self.n2p):
+            raise ValueError(
+                f"trailing axes {planes[0].shape[-3:]} != spectral shape "
+                f"({self.n0}, {self.n1}, {self.n2p}); the planar spectrum "
+                f"carries the pad tail (crop happens in the plan)"
+            )
+        nb = planes[0].ndim - 3
+        natural, spectral = self._specs(nb)
+        in_spec = spectral if from_spectral else natural
+        nout = len(planes) // 2
+        fn = shard_map(
+            functools.partial(self._local_inv, from_spectral=from_spectral),
+            mesh=self.mesh,
+            in_specs=((in_spec,) * len(planes),),
+            out_specs=(natural,) * nout,
+        )
+        out = fn(planes)
+        return out if self.is_dd else out[0]
+
+    # -- complex convenience (numpy rfftn/irfftn shapes) ---------------------
+
+    def rfft(self, x) -> np.ndarray:
+        """np.fft.rfftn analog: real (..., n0, n1, n2) in, complex
+        (..., n0, n1, n2//2+1) out (pad bins cropped at the host)."""
+        x = np.asarray(x)
+        if self.is_dd:
+            from fourier_tpu.precision import ddreal as dd
+
+            xh, xl = dd.from_f64(x.astype(np.float64))
+            planes = self.rfft_planar(xh, xl)
+        else:
+            planes = self.rfft_planar(x.astype(self.real_dtype))
+        out = _join_complex(planes, self.dtype)
+        return out[..., : self.out_len]
+
+    def irfft(self, y) -> np.ndarray:
+        """np.fft.irfftn analog: complex (..., n0, n1, n2//2+1) in, real
+        (..., n0, n1, n2) out (accepts the padded length too)."""
+        y = np.asarray(y)
+        if y.shape[-1] == self.out_len and self.n2p != self.out_len:
+            pad = [(0, 0)] * (y.ndim - 1) + [(0, self.n2p - self.out_len)]
+            y = np.pad(y, pad)
+        if y.shape[-3:] != (self.n0, self.n1, self.n2p):
+            raise ValueError(
+                f"trailing axes {y.shape[-3:]} != ({self.n0}, {self.n1}, "
+                f"{self.out_len} or {self.n2p})"
+            )
+        planes = _split_complex(y, 4 if self.is_dd else 2, self.real_dtype)
+        out = self.irfft_planar(*planes)
+        if self.is_dd:
+            from fourier_tpu.precision import ddreal as dd
+
+            return dd.to_f64((np.asarray(out[0]), np.asarray(out[1])))
+        return np.asarray(out)
+
+    def __repr__(self):
+        return (
+            f"Rfft3dPlan(n0={self.n0}, n1={self.n1}, n2={self.n2}, "
+            f"axes={self.axes!r}, dtype={self.dtype.name}, "
+            f"out_len={self.out_len}, n2p={self.n2p}, "
+            f"spectral_output={self.spectral_output})"
+        )
+
+    # -- pytree -------------------------------------------------------------
+
+    def tree_flatten(self):
+        children = (self.rplan, self.plan0, self.plan1)
+        aux = (
+            self.n0,
+            self.n1,
+            self.n2,
+            self.axes,
+            self.dtype.name,
+            self.spectral_output,
+            self.backend,
+            self.mesh,
+        )
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        (obj.n0, obj.n1, obj.n2, obj.axes, dtype_name, obj.spectral_output,
+         obj.backend, obj.mesh) = aux
+        obj.dtype = np.dtype(dtype_name)
+        obj.size = obj.n0 * obj.n1 * obj.n2
+        obj.rplan, obj.plan0, obj.plan1 = children
+        sb = obj.mesh.shape[obj.axes[1]] if len(obj.axes) == 2 else 1
+        obj.out_len = obj.n2 // 2 + 1
+        obj.n2p = sb * ((obj.out_len + sb - 1) // sb)
+        return obj
+
+
+for _cls in (FourStepPlan, Fft2dPlan, Fft3dPlan, Rfft3dPlan):
     jax.tree_util.register_pytree_node(
         _cls, lambda p: p.tree_flatten(), _cls.tree_unflatten
     )

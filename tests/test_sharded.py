@@ -559,3 +559,147 @@ def test_batched_rfft_dd_matches_numpy():
     bh, bl = batched_irfft_dd(plan, *planes, mesh=mesh, axis="batch")
     back = dd.to_f64((np.asarray(bh), np.asarray(bl)))
     assert np.linalg.norm(back - x) <= 1e-12 * np.linalg.norm(x)
+
+
+# ---------------------------------------------------------------------------
+# Real-input 3-D FFT (pencil/slab)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("dims", [(8, 8, 16), (4, 8, 9)])
+def test_rfft3d_pencil_vs_numpy(dims):
+    """Forward matches np.fft.rfftn (incl. padded-spectral-axis crop and an
+    odd n2); inverse reproduces the input."""
+    from fourier_tpu.parallel import Rfft3dPlan
+
+    rng = np.random.default_rng(RNG_SEED)
+    mesh = _mesh2()
+    plan = Rfft3dPlan(*dims, mesh)
+    x = rng.standard_normal(dims).astype(np.float32)
+    got = plan.rfft(x)
+    want = np.fft.rfftn(x)
+    assert got.shape == want.shape == (*dims[:2], dims[2] // 2 + 1)
+    assert np.max(np.abs(got - want)) < 1e-3 * max(1.0, np.max(np.abs(want)))
+    back = plan.irfft(got)
+    assert back.shape == x.shape
+    assert np.max(np.abs(back - x)) < 1e-4
+
+
+def test_rfft3d_planar_pad_contract():
+    """Planar surface carries the zero pad tail; pad bins are exactly zero."""
+    from fourier_tpu.parallel import Rfft3dPlan
+
+    rng = np.random.default_rng(RNG_SEED)
+    mesh = _mesh2()  # (2, 4): n2=16 -> out_len 9, n2p 12
+    plan = Rfft3dPlan(8, 8, 16, mesh)
+    assert (plan.out_len, plan.n2p) == (9, 12)
+    x = rng.standard_normal((8, 8, 16)).astype(np.float32)
+    re, im = plan.rfft_planar(x)
+    assert re.shape == (8, 8, 12)
+    assert np.all(np.asarray(re)[..., 9:] == 0)
+    assert np.all(np.asarray(im)[..., 9:] == 0)
+    back = plan.irfft_planar(re, im)
+    assert np.max(np.abs(np.asarray(back) - x)) < 1e-4
+
+
+def test_rfft3d_spectral_layout_roundtrip():
+    """spectral_output + from_spectral: 4 collectives per roundtrip instead
+    of 8, same logical arrays."""
+    from fourier_tpu.parallel import Rfft3dPlan
+
+    rng = np.random.default_rng(RNG_SEED)
+    mesh = _mesh2()
+    dims = (8, 8, 16)
+    spectral = Rfft3dPlan(*dims, mesh, spectral_output=True)
+    x = rng.standard_normal(dims).astype(np.float32)
+    re, im = spectral.rfft_planar(x)
+    got = (np.asarray(re) + 1j * np.asarray(im))[..., : spectral.out_len]
+    want = np.fft.rfftn(x)
+    assert np.max(np.abs(got - want)) < 1e-3 * max(1.0, np.max(np.abs(want)))
+    back = spectral.irfft_planar(re, im, from_spectral=True)
+    assert np.max(np.abs(np.asarray(back) - x)) < 1e-4
+
+
+def test_rfft3d_slab_and_batch_dims():
+    from fourier_tpu.parallel import Rfft3dPlan
+
+    rng = np.random.default_rng(RNG_SEED)
+    mesh = _mesh("fft")  # 1-D mesh: slab decomposition, no padding
+    dims = (8, 8, 10)
+    plan = Rfft3dPlan(*dims, mesh, axes=("fft",))
+    assert plan.n2p == plan.out_len == 6
+    x = rng.standard_normal((2, *dims)).astype(np.float32)  # leading batch
+    got = plan.rfft(x)
+    want = np.fft.rfftn(x, axes=(-3, -2, -1))
+    assert got.shape == want.shape
+    assert np.max(np.abs(got - want)) < 1e-3 * max(1.0, np.max(np.abs(want)))
+    back = plan.irfft(got)
+    assert np.max(np.abs(back - x)) < 1e-4
+
+
+def test_rfft3d_c128_dd():
+    from fourier_tpu.parallel import Rfft3dPlan
+
+    rng = np.random.default_rng(RNG_SEED)
+    mesh = _mesh2()
+    dims = (4, 8, 16)
+    plan = Rfft3dPlan(*dims, mesh, dtype=np.complex128, backend="dd")
+    assert plan.is_dd
+    x = rng.standard_normal(dims)
+    got = plan.rfft(x)
+    want = np.fft.rfftn(x)
+    assert np.max(np.abs(got - want)) < 1e-12 * max(1.0, np.max(np.abs(want)))
+    back = plan.irfft(got)
+    assert np.max(np.abs(back - x)) < 1e-12
+
+
+def test_rfft3d_validation_and_pytree():
+    from fourier_tpu.parallel import Rfft3dPlan
+
+    mesh = _mesh2()
+    with pytest.raises(ValueError):
+        Rfft3dPlan(7, 8, 8, mesh)  # n0 % |x|
+    with pytest.raises(ValueError):
+        Rfft3dPlan(8, 6, 8, mesh)  # n1 % |y|
+    with pytest.raises(ValueError):
+        Rfft3dPlan(8, 8, 8, mesh, axes=("x", "y", "z"))
+    plan = Rfft3dPlan(8, 8, 16, mesh)
+    with pytest.raises(ValueError):
+        plan.rfft_planar(np.zeros((8, 8, 12), np.float32))
+    with pytest.raises(ValueError):
+        plan.irfft_planar(
+            np.zeros((8, 8, 9), np.float32), np.zeros((8, 8, 9), np.float32)
+        )  # spectrum planes must carry the pad tail
+    leaves, treedef = jax.tree_util.tree_flatten(plan)
+    rebuilt = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert (rebuilt.n2p, rebuilt.out_len) == (plan.n2p, plan.out_len)
+
+    # jit with the plan as a pytree argument
+    rng = np.random.default_rng(RNG_SEED)
+    x = rng.standard_normal((8, 8, 16)).astype(np.float32)
+
+    @jax.jit
+    def fwd(p, xx):
+        return p.rfft_planar(xx)
+
+    re, im = fwd(plan, x)
+    got = (np.asarray(re) + 1j * np.asarray(im))[..., : plan.out_len]
+    want = np.fft.rfftn(x)
+    assert np.max(np.abs(got - want)) < 1e-3 * max(1.0, np.max(np.abs(want)))
+
+
+def test_rfft3d_serialize_roundtrip(tmp_path):
+    from fourier_tpu.parallel import Rfft3dPlan
+    from fourier_tpu.plan.serialize import load_plan, save_plan
+
+    rng = np.random.default_rng(RNG_SEED)
+    mesh = _mesh2()
+    plan = Rfft3dPlan(8, 8, 16, mesh)
+    path = str(tmp_path / "rfft3d.npz")
+    save_plan(plan, path)
+    again = load_plan(path, mesh=mesh)
+    x = rng.standard_normal((8, 8, 16)).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(plan.rfft_planar(x)[0]),
+        np.asarray(again.rfft_planar(x)[0]),
+    )
