@@ -79,11 +79,13 @@ def _plan_for(n: int, dtype):
 def transform(x, mode: Transform, dtype=None):
     """Plan-and-run a transform over the last axis of a complex array."""
     x = x if hasattr(x, "shape") else _np.asarray(x)
-    if dtype is None and hasattr(x, "dtype") and x.dtype in (
-        _np.complex64,
-        _np.complex128,
-    ):
-        dtype = x.dtype
+    if dtype is None and hasattr(x, "dtype"):
+        if x.dtype in (_np.complex64, _np.complex128):
+            dtype = x.dtype
+        elif x.dtype in (_np.float64, _np.complex128):
+            # numpy-parity promotion for real input (rfft._infer_cdtype):
+            # double-precision in -> complex128 out.
+            dtype = _np.complex128
     return _plan_for(x.shape[-1], dtype).transform(x, mode)
 
 
@@ -235,5 +237,16 @@ __all__ = [
     "transform",
     "zoom_fft",
     "transform_planar",
+    "scipy_fft_backend",
     "__version__",
 ]
+
+
+def __getattr__(name):
+    # Lazy: scipy_backend imports this package back (adapter over the public
+    # surface), so it must not load during package init.
+    if name == "scipy_fft_backend":
+        from fourier_tpu.scipy_backend import scipy_fft_backend
+
+        return scipy_fft_backend
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -246,6 +246,13 @@ def _resolve_axes(x_ndim: int, s, axes, ndim: Optional[int]):
 
 def _fftn_impl(x, s, axes, norm, ndim, dtype, forward: bool):
     x = np.asarray(x)
+    if dtype is None:
+        # numpy-parity promotion: double-precision input (f64/c128) ->
+        # complex128, everything else -> the native complex64 path.
+        dtype = (
+            np.complex128
+            if x.dtype in (np.float64, np.complex128) else np.complex64
+        )
     axes = _resolve_axes(x.ndim, s, axes, ndim)
     if s is not None:
         for n, ax in zip(s, axes):
@@ -262,7 +269,7 @@ def _fftn_impl(x, s, axes, norm, ndim, dtype, forward: bool):
     return np.transpose(out, np.argsort(order))
 
 
-def fftn(x, ndim: Optional[int] = None, dtype=np.complex64, *,
+def fftn(x, ndim: Optional[int] = None, dtype=None, *,
          s=None, axes=None, norm: Optional[str] = None):
     """Forward FFT over `axes` (default: trailing `ndim` axes, default all).
 
@@ -272,19 +279,19 @@ def fftn(x, ndim: Optional[int] = None, dtype=np.complex64, *,
     return _fftn_impl(x, s, axes, norm, ndim, dtype, forward=True)
 
 
-def ifftn(x, ndim: Optional[int] = None, dtype=np.complex64, *,
+def ifftn(x, ndim: Optional[int] = None, dtype=None, *,
           s=None, axes=None, norm: Optional[str] = None):
     """Inverse FFT over `axes` (numpy.fft.ifftn compatibility)."""
     return _fftn_impl(x, s, axes, norm, ndim, dtype, forward=False)
 
 
-def fft2(x, dtype=np.complex64, *, s=None, axes=(-2, -1),
+def fft2(x, dtype=None, *, s=None, axes=(-2, -1),
          norm: Optional[str] = None):
     """2-D forward FFT (numpy.fft.fft2 compatibility)."""
     return _fftn_impl(x, s, list(axes), norm, None, dtype, forward=True)
 
 
-def ifft2(x, dtype=np.complex64, *, s=None, axes=(-2, -1),
+def ifft2(x, dtype=None, *, s=None, axes=(-2, -1),
           norm: Optional[str] = None):
     """2-D inverse FFT (numpy.fft.ifft2 compatibility)."""
     return _fftn_impl(x, s, list(axes), norm, None, dtype, forward=False)
