@@ -59,8 +59,15 @@ class NdFftPlan:
                 "call transform_planar_dd(re_hi, re_lo, im_hi, im_lo)"
             )
         transform = Transform(transform)
-        re = jnp.asarray(re)
-        im = jnp.asarray(im)
+        # Backend-polymorphic like the 1-D plans: numpy planes run the whole
+        # per-axis pipeline eagerly in numpy (no trace, no per-shape
+        # compile) when every axis plan supports it; jax input stays traced.
+        eager = isinstance(re, np.ndarray) and all(
+            getattr(p, "eager_host_ok", False) for p in self.plans
+        )
+        xp = np if eager else jnp
+        re = xp.asarray(re)
+        im = xp.asarray(im)
         if re.shape[-self.ndim:] != self.shape:
             raise ValueError(
                 f"trailing axes {re.shape[-self.ndim:]} do not match plan "
@@ -70,14 +77,14 @@ class NdFftPlan:
         mode = Transform.FFT if transform.is_forward else Transform.UNSCALED_IFFT
         for axis_from_end, plan in enumerate(reversed(self.plans)):
             axis = re.ndim - 1 - axis_from_end
-            re = jnp.moveaxis(re, axis, -1)
-            im = jnp.moveaxis(im, axis, -1)
+            re = xp.moveaxis(re, axis, -1)
+            im = xp.moveaxis(im, axis, -1)
             re, im = plan._apply(re, im, mode)
-            re = jnp.moveaxis(re, -1, axis)
-            im = jnp.moveaxis(im, -1, axis)
+            re = xp.moveaxis(re, -1, axis)
+            im = xp.moveaxis(im, -1, axis)
         scale = transform.scale(self.size)
         if scale is not None:
-            s = jnp.asarray(scale, dtype=re.dtype)
+            s = xp.asarray(scale).astype(re.dtype)
             re, im = re * s, im * s
         return re, im
 

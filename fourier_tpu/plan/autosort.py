@@ -31,6 +31,8 @@ StageTw = Tuple[jnp.ndarray, jnp.ndarray]
 class AutosortPlan(FftPlan):
     """Immutable mixed-radix Stockham plan for sizes 2^a * 3^b."""
 
+    _eager_host = True  # backend-polymorphic: numpy in -> eager numpy out
+
     def __init__(
         self,
         size: int,

@@ -47,6 +47,16 @@ class FftPlan:
     def _apply(self, re, im, transform: Transform):
         raise NotImplementedError
 
+    # Families whose _apply is backend-polymorphic (numpy in -> eager numpy
+    # out) opt in; composite plans AND over their sub-plans. Hardware-kernel
+    # families (Pallas VPU/MXU) stay False — numpy input there would run the
+    # Mosaic interpreter, not the machine.
+    _eager_host = False
+
+    @property
+    def eager_host_ok(self) -> bool:
+        return type(self)._eager_host
+
     def transform_planar(
         self, re, im, transform: Transform = Transform.FFT
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -89,6 +99,24 @@ class FftPlan:
         x = np.asarray(x)
         if not np.issubdtype(x.dtype, np.complexfloating):
             x = x.astype(self.dtype)
+        if self.eager_host_ok:
+            # Host boundary, polymorphic family: run the eager-numpy path —
+            # no trace, no per-(plan, shape) XLA compile. One-shot calls
+            # (ft.fft, the scipy.fft backend) cost milliseconds, not a
+            # compile; the jit path stays behind transform_planar for
+            # device-resident pipelines.
+            rt = self.real_dtype
+            if x.shape[-1] != self.size:
+                raise ValueError(
+                    f"last axis of input has length {x.shape[-1]}, "
+                    f"but plan size is {self.size}"
+                )
+            ore, oim = self._apply(
+                np.ascontiguousarray(x.real, rt),
+                np.ascontiguousarray(x.imag, rt),
+                Transform(transform),
+            )
+            return (np.asarray(ore) + 1j * np.asarray(oim)).astype(self.dtype)
         ore, oim = self.transform_planar(np.real(x), np.imag(x), transform)
         return (np.asarray(ore) + 1j * np.asarray(oim)).astype(self.dtype)
 

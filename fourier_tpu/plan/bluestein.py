@@ -57,6 +57,12 @@ class BluesteinPlan(FftPlan):
         self.x_fwd = x_fwd  # planar pairs: (re, im), shape (n,)
         self.x_inv = x_inv
 
+    @property
+    def eager_host_ok(self) -> bool:
+        # Eager-numpy host execution only if the inner plan supports it
+        # (a fused Pallas inner would hit the Mosaic interpreter).
+        return getattr(self.inner, "eager_host_ok", False)
+
     @classmethod
     def create(cls, size: int, dtype=np.complex64, inner_factory=None) -> "BluesteinPlan":
         """Plan an arbitrary size. `inner_factory(size, dtype)` builds the

@@ -71,6 +71,12 @@ class FourStepLocalPlan(FftPlan):
         self.tw_fwd = tw_fwd  # planar (p, q) pairs
         self.tw_inv = tw_inv
 
+    @property
+    def eager_host_ok(self) -> bool:
+        return getattr(self.col_plan, "eager_host_ok", False) and getattr(
+            self.row_plan, "eager_host_ok", False
+        )
+
     @classmethod
     def create(cls, size: int, dtype, p: int, q: int, plan_factory):
         """Build from `plan_factory(sub_size, dtype) -> FftPlan`."""

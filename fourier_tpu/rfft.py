@@ -43,6 +43,11 @@ from fourier_tpu.plan.planner import create_fft
 from fourier_tpu.transform import Transform
 
 
+def _xp(a):
+    """numpy for numpy inputs, jnp otherwise (backend-polymorphic paths)."""
+    return np if isinstance(a, np.ndarray) else jnp
+
+
 class RfftPlan:
     """Plan for real-input forward / inverse FFTs of length ``n``.
 
@@ -90,20 +95,40 @@ class RfftPlan:
     def out_len(self) -> int:
         return self.n // 2 + 1
 
+    @property
+    def eager_host_ok(self) -> bool:
+        """Eager-numpy host execution is safe iff the inner c2c plan's is."""
+        return not self.dd and getattr(self.inner, "eager_host_ok", False)
+
+    def _w_tables(self, xp):
+        """Half-spectrum twiddles in the caller's array namespace (cached)."""
+        if xp is np and not self.dd:
+            cached = getattr(self, "_w_np", None)
+            if cached is None and self.w_re is not None:
+                cached = (np.asarray(self.w_re), np.asarray(self.w_im))
+                self._w_np = cached
+            return cached if cached is not None else (self.w_re, self.w_im)
+        return self.w_re, self.w_im
+
     # -- internals ----------------------------------------------------------
 
     @staticmethod
     def _mirror(zr, zi):
         """conj(Z[(m-k) mod m]) planes from Z planes (vectorized unpack)."""
-        zr_rev = jnp.concatenate([zr[..., :1], zr[..., :0:-1]], axis=-1)
-        zi_rev = jnp.concatenate([zi[..., :1], zi[..., :0:-1]], axis=-1)
+        xp = _xp(zr)
+        zr_rev = xp.concatenate([zr[..., :1], zr[..., :0:-1]], axis=-1)
+        zi_rev = xp.concatenate([zi[..., :1], zi[..., :0:-1]], axis=-1)
         return zr_rev, -zi_rev
 
     def _rfft_even(self, x):
+        xp = _xp(x)
+        w_re, w_im = self._w_tables(xp)
         # Even/odd de-interleave is a reshape in planar form: (..., m, 2).
         pair = x.reshape(*x.shape[:-1], self.m, 2)
         zr, zi = self.inner._apply(
-            pair[..., 0], pair[..., 1], Transform.FFT
+            xp.ascontiguousarray(pair[..., 0]) if xp is np else pair[..., 0],
+            xp.ascontiguousarray(pair[..., 1]) if xp is np else pair[..., 1],
+            Transform.FFT,
         )
         cr, ci = self._mirror(zr, zi)
         er, ei = 0.5 * (zr + cr), 0.5 * (zi + ci)
@@ -111,20 +136,27 @@ class RfftPlan:
         odr, odi = zr - cr, zi - ci
         o_r, o_i = 0.5 * odi, -0.5 * odr
         # X[k] = E[k] + W^k O[k], k = 0..m-1
-        xr = er + self.w_re * o_r - self.w_im * o_i
-        xi = ei + self.w_re * o_i + self.w_im * o_r
+        xr = er + w_re * o_r - w_im * o_i
+        xi = ei + w_re * o_i + w_im * o_r
         # X[m] = E[0] - O[0]
         last_r = (er[..., :1] - o_r[..., :1])
         last_i = (ei[..., :1] - o_i[..., :1])
         return (
-            jnp.concatenate([xr, last_r], axis=-1),
-            jnp.concatenate([xi, last_i], axis=-1),
+            xp.concatenate([xr, last_r], axis=-1),
+            xp.concatenate([xi, last_i], axis=-1),
         )
 
     def _irfft_even(self, re, im):
+        xp = _xp(re)
+        w_re, w_im = self._w_tables(xp)
         # A real signal has real DC and Nyquist bins; numpy's irfft ignores
         # their imaginary parts on inconsistent input — match that.
-        im = im.at[..., 0].set(0).at[..., -1].set(0)
+        if xp is np:
+            im = im.copy()
+            im[..., 0] = 0
+            im[..., -1] = 0
+        else:
+            im = im.at[..., 0].set(0).at[..., -1].set(0)
         # Recover Z[k] from the one-sided spectrum, k = 0..m-1.
         xr, xi = re[..., : self.m], im[..., : self.m]
         # conj(X[m-k]): index m-k for k=0..m-1 walks m, m-1, ..., 1.
@@ -133,16 +165,16 @@ class RfftPlan:
         er, ei = 0.5 * (xr + cr), 0.5 * (xi + ci)
         # W^k O[k] = (X[k] - conj(X[m-k]))/2  ->  O[k] = conj(W^k) * (...)
         wor, woi = 0.5 * (xr - cr), 0.5 * (xi - ci)
-        o_r = self.w_re * wor + self.w_im * woi
-        o_i = self.w_re * woi - self.w_im * wor
+        o_r = w_re * wor + w_im * woi
+        o_i = w_re * woi - w_im * wor
         # Z[k] = E[k] + i*O[k]
         zr, zi = er - o_i, ei + o_r
         zr, zi = self.inner._apply(zr, zi, Transform.IFFT)  # 1/m scaling
-        out = jnp.stack([zr, zi], axis=-1)
+        out = xp.stack([zr, zi], axis=-1)
         return out.reshape(*zr.shape[:-1], self.n)
 
     def _rfft_odd_single(self, x):
-        zero = jnp.zeros_like(x)
+        zero = _xp(x).zeros_like(x)
         fr, fi = self.inner._apply(x, zero, Transform.FFT)
         return fr[..., : self.out_len], fi[..., : self.out_len]
 
@@ -170,8 +202,9 @@ class RfftPlan:
         h = bsz // 2
         zr, zi = self.inner._apply(xf[:h], xf[h : 2 * h], Transform.FFT)
         # Reversed planes Z[(n-k) mod n], truncated to the one-sided length.
-        zsr = jnp.concatenate([zr[..., :1], zr[..., : L - 1 : -1]], axis=-1)
-        zsi = jnp.concatenate([zi[..., :1], zi[..., : L - 1 : -1]], axis=-1)
+        xp = _xp(zr)
+        zsr = xp.concatenate([zr[..., :1], zr[..., : L - 1 : -1]], axis=-1)
+        zsi = xp.concatenate([zi[..., :1], zi[..., : L - 1 : -1]], axis=-1)
         hr, hi = zr[..., :L], zi[..., :L]
         x1r, x1i = 0.5 * (hr + zsr), 0.5 * (hi - zsi)
         x2r, x2i = 0.5 * (hi + zsi), -0.5 * (hr - zsr)
@@ -181,16 +214,17 @@ class RfftPlan:
             lr, li = self._rfft_odd_single(xf[2 * h :])
             parts_r.append(lr)
             parts_i.append(li)
-        outr = jnp.concatenate(parts_r, axis=0)
-        outi = jnp.concatenate(parts_i, axis=0)
+        outr = xp.concatenate(parts_r, axis=0)
+        outi = xp.concatenate(parts_i, axis=0)
         return outr.reshape(*lead, L), outi.reshape(*lead, L)
 
     def _irfft_odd_single(self, re, im):
         # Rebuild the full Hermitian spectrum, then one scaled c2c IFFT.
         tail_r = re[..., -1:0:-1]
         tail_i = -im[..., -1:0:-1]
-        fr = jnp.concatenate([re, tail_r], axis=-1)
-        fi = jnp.concatenate([im, tail_i], axis=-1)
+        xp = _xp(re)
+        fr = xp.concatenate([re, tail_r], axis=-1)
+        fi = xp.concatenate([im, tail_i], axis=-1)
         xr, _ = self.inner._apply(fr, fi, Transform.IFFT)
         return xr
 
@@ -208,7 +242,11 @@ class RfftPlan:
         # numpy.fft.irfft ignores the imaginary DC bin (real-signal
         # semantics); zeroing it here is what makes X1/X2 exactly Hermitian
         # so the packed inverse separates cleanly.
-        if_ = if_.at[..., 0].set(0)
+        if isinstance(if_, np.ndarray):
+            if_ = if_.copy()
+            if_[..., 0] = 0
+        else:
+            if_ = if_.at[..., 0].set(0)
         h = bsz // 2  # contiguous half-slab pairing, as in _rfft_odd
         x1r, x1i = rf[:h], if_[:h]
         x2r, x2i = rf[h : 2 * h], if_[h : 2 * h]
@@ -219,13 +257,14 @@ class RfftPlan:
         rev = lambda p: p[..., -1:0:-1]
         zr_tail = rev(x1r) + rev(x2i)
         zi_tail = -rev(x1i) + rev(x2r)
-        zr = jnp.concatenate([zr_head, zr_tail], axis=-1)
-        zi = jnp.concatenate([zi_head, zi_tail], axis=-1)
+        xp = _xp(zr_head)
+        zr = xp.concatenate([zr_head, zr_tail], axis=-1)
+        zi = xp.concatenate([zi_head, zi_tail], axis=-1)
         or_, oi = self.inner._apply(zr, zi, Transform.IFFT)  # 1/n scaling
         parts = [or_, oi]
         if 2 * h != bsz:
             parts.append(self._irfft_odd_single(rf[2 * h :], if_[2 * h :]))
-        out = jnp.concatenate(parts, axis=0)
+        out = xp.concatenate(parts, axis=0)
         return out.reshape(*lead, n)
 
     # -- dd (double-word c128) twins ----------------------------------------
@@ -456,6 +495,15 @@ class RfftPlan:
             rh, rl, ih, il = self.rfft_planar_dd(xh, xl)
             f64 = lambda p: np.asarray(p, np.float64)
             return (f64(rh) + f64(rl)) + 1j * (f64(ih) + f64(il))
+        if x.shape[-1] != self.n:
+            raise ValueError(f"last axis {x.shape[-1]} != plan size {self.n}")
+        if self.eager_host_ok:
+            # Host boundary: eager numpy, no per-shape XLA compile
+            # (plan/base.py eager-host rationale).
+            xr = np.ascontiguousarray(x.real if np.iscomplexobj(x) else x,
+                                      self.real_dtype)
+            re, im = self._rfft_even(xr) if self.even else self._rfft_odd(xr)
+            return (np.asarray(re) + 1j * np.asarray(im)).astype(self.dtype)
         re, im = self.rfft_planar(x.astype(self.real_dtype))
         return (np.asarray(re) + 1j * np.asarray(im)).astype(self.dtype)
 
@@ -468,6 +516,17 @@ class RfftPlan:
             ih, il = ddreal.from_f64(np.imag(x))
             oh, ol = self.irfft_planar_dd(rh, rl, ih, il)
             return np.asarray(oh, np.float64) + np.asarray(ol, np.float64)
+        if x.shape[-1] != self.out_len:
+            raise ValueError(
+                f"last axis {x.shape[-1]} != one-sided length {self.out_len}"
+            )
+        if self.eager_host_ok:
+            rt = self.real_dtype
+            re = np.ascontiguousarray(x.real, rt)
+            im = np.ascontiguousarray(x.imag, rt)
+            out = (self._irfft_even(re, im) if self.even
+                   else self._irfft_odd(re, im))
+            return np.asarray(out)
         out = self.irfft_planar(np.real(x), np.imag(x))
         return np.asarray(out)
 

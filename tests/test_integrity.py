@@ -200,7 +200,10 @@ def test_planar_matches_complex():
     plan = ft.create_fft_f32(48)
     ore, oim = plan.fft_planar(np.real(x), np.imag(x))
     got = np.asarray(ore) + 1j * np.asarray(oim)
-    np.testing.assert_allclose(got, np.asarray(plan.fft(x)), atol=1e-6)
+    # fft_planar runs the jit/XLA path, fft(numpy) the eager-numpy host
+    # path: same algorithm, different fusion/reassociation, so parity is
+    # a-few-ULP-at-c64, not bitwise.
+    np.testing.assert_allclose(got, np.asarray(plan.fft(x)), atol=5e-6)
 
 
 def test_module_level_convenience():
