@@ -146,6 +146,42 @@ def _a2a(p, axis_name: str, split_axis: int, concat_axis: int):
     )
 
 
+def _chunked_leg(planes: Tuple, fft_fn, axis_name: str, split_axis: int,
+                 concat_axis: int, chunk_axis: int, chunks: int) -> Tuple:
+    """Local FFTs + all_to_all with comm/compute overlap.
+
+    The pencil pipelines chunk along an axis UNINVOLVED in the transpose
+    (unlike Fft2dPlan's row case), so chunk c's collective rides ICI while
+    chunk c+1's FFTs compute and reassembly is a plain concatenate — the
+    chunked form is value-identical to the monolithic leg. Falls back to
+    monolithic when the chunk axis extent is not divisible (per-leg extents
+    differ in a 3-D pipeline; a hard error would forbid valid geometries).
+    """
+    extent = planes[0].shape[chunk_axis]
+    if chunks <= 1 or extent % chunks:
+        planes = fft_fn(planes)
+        return tuple(
+            _a2a(p, axis_name, split_axis, concat_axis) for p in planes
+        )
+    h = extent // chunks
+    sent = []
+    for c in range(chunks):
+        chunk = tuple(
+            jax.lax.slice_in_dim(p, c * h, (c + 1) * h, axis=chunk_axis)
+            for p in planes
+        )
+        chunk = fft_fn(chunk)
+        sent.append(
+            tuple(_a2a(p, axis_name, split_axis, concat_axis) for p in chunk)
+        )
+    # fft_fn may change the plane count (r2c: 1 real plane in, 2 out) —
+    # reassemble by the OUTPUT plane count.
+    return tuple(
+        jnp.concatenate([s[i] for s in sent], axis=chunk_axis)
+        for i in range(len(sent[0]))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Batch sharding (data-parallel over transforms)
 # ---------------------------------------------------------------------------
@@ -776,6 +812,7 @@ class Fft3dPlan(_ShardedPlanBase):
         axes=("x", "y"),
         dtype=np.complex64,
         spectral_output: bool = False,
+        pipeline_chunks: int = 1,
         backend: str = "auto",
     ):
         self.n0, self.n1, self.n2 = int(n0), int(n1), int(n2)
@@ -791,6 +828,11 @@ class Fft3dPlan(_ShardedPlanBase):
             )
         self.dtype = np.dtype(dtype)
         self.spectral_output = bool(spectral_output)
+        self.pipeline_chunks = int(pipeline_chunks)
+        if self.pipeline_chunks < 1:
+            raise ValueError(
+                f"pipeline_chunks must be >= 1, got {self.pipeline_chunks}"
+            )
         self.backend = backend
         self.plan0 = create_fft(self.n0, self.dtype, backend=backend)
         self.plan1 = create_fft(self.n1, self.dtype, backend=backend)
@@ -837,22 +879,38 @@ class Fft3dPlan(_ShardedPlanBase):
         nb = planes[0].ndim - 3
         ax_a = self.axes[0]
         ax_b = self.axes[1] if len(self.axes) == 2 else None
+        chunks = self.pipeline_chunks
         if from_spectral:
             # Spectral layout in (k0, k1_a, k2_b): mirror pipeline, natural
-            # layout out with only 2 collectives.
-            planes = self._fft_axis(self.plan0, planes, -3, mode)
-            planes = tuple(_a2a(p, ax_a, nb, nb + 1) for p in planes)
-            planes = self._fft_axis(self.plan1, planes, -2, mode)
+            # layout out with only 2 collectives. Each leg's all_to_all is
+            # chunked along an uninvolved axis so it overlaps the next
+            # chunk's FFTs (_chunked_leg).
+            planes = _chunked_leg(
+                planes, lambda ps: self._fft_axis(self.plan0, ps, -3, mode),
+                ax_a, nb, nb + 1, nb + 2, chunks,
+            )
             if ax_b is not None:
-                planes = tuple(_a2a(p, ax_b, nb + 1, nb + 2) for p in planes)
+                planes = _chunked_leg(
+                    planes,
+                    lambda ps: self._fft_axis(self.plan1, ps, -2, mode),
+                    ax_b, nb + 1, nb + 2, nb, chunks,
+                )
+            else:
+                planes = self._fft_axis(self.plan1, planes, -2, mode)
             planes = _apply_plan(self.plan2, planes, mode)
             return _scale_planes(planes, transform.scale(self.size))
         # Natural layout in (n0_a, n1_b, n2).
-        planes = _apply_plan(self.plan2, planes, mode)
         if ax_b is not None:
-            planes = tuple(_a2a(p, ax_b, nb + 2, nb + 1) for p in planes)
-        planes = self._fft_axis(self.plan1, planes, -2, mode)
-        planes = tuple(_a2a(p, ax_a, nb + 1, nb) for p in planes)
+            planes = _chunked_leg(
+                planes, lambda ps: _apply_plan(self.plan2, ps, mode),
+                ax_b, nb + 2, nb + 1, nb, chunks,
+            )
+        else:
+            planes = _apply_plan(self.plan2, planes, mode)
+        planes = _chunked_leg(
+            planes, lambda ps: self._fft_axis(self.plan1, ps, -2, mode),
+            ax_a, nb + 1, nb, nb + 2, chunks,
+        )
         planes = self._fft_axis(self.plan0, planes, -3, mode)
         planes = _scale_planes(planes, transform.scale(self.size))
         if not self.spectral_output:
@@ -942,7 +1000,8 @@ class Fft3dPlan(_ShardedPlanBase):
         return (
             f"Fft3dPlan(n0={self.n0}, n1={self.n1}, n2={self.n2}, "
             f"axes={self.axes!r}, dtype={self.dtype.name}, "
-            f"spectral_output={self.spectral_output})"
+            f"spectral_output={self.spectral_output}, "
+            f"pipeline_chunks={self.pipeline_chunks})"
         )
 
     # -- pytree -------------------------------------------------------------
@@ -956,6 +1015,7 @@ class Fft3dPlan(_ShardedPlanBase):
             self.axes,
             self.dtype.name,
             self.spectral_output,
+            self.pipeline_chunks,
             self.backend,
             self.mesh,
         )
@@ -965,7 +1025,7 @@ class Fft3dPlan(_ShardedPlanBase):
     def tree_unflatten(cls, aux, children):
         obj = cls.__new__(cls)
         (obj.n0, obj.n1, obj.n2, obj.axes, dtype_name, obj.spectral_output,
-         obj.backend, obj.mesh) = aux
+         obj.pipeline_chunks, obj.backend, obj.mesh) = aux
         obj.dtype = np.dtype(dtype_name)
         obj.size = obj.n0 * obj.n1 * obj.n2
         obj.plan0, obj.plan1, obj.plan2 = children
@@ -1027,6 +1087,7 @@ class Rfft3dPlan:
         axes=("x", "y"),
         dtype=np.complex64,
         spectral_output: bool = False,
+        pipeline_chunks: int = 1,
         backend: str = "auto",
     ):
         self.n0, self.n1, self.n2 = int(n0), int(n1), int(n2)
@@ -1042,6 +1103,11 @@ class Rfft3dPlan:
             )
         self.dtype = np.dtype(dtype)
         self.spectral_output = bool(spectral_output)
+        self.pipeline_chunks = int(pipeline_chunks)
+        if self.pipeline_chunks < 1:
+            raise ValueError(
+                f"pipeline_chunks must be >= 1, got {self.pipeline_chunks}"
+            )
         self.backend = backend
         from fourier_tpu.rfft import RfftPlan
 
@@ -1094,21 +1160,35 @@ class Rfft3dPlan:
         nb = planes[0].ndim - 3
         ax_a = self.axes[0]
         ax_b = self.axes[1] if len(self.axes) == 2 else None
-        # 1) r2c along whole pencils; zero-pad k2 to the shardable length.
-        if len(planes) == 2:  # dd limb planes
-            planes = self.rplan.rfft_planar_dd(planes[0], planes[1])
-        else:
-            planes = self.rplan.rfft_planar(planes[0])
-        pad = self.n2p - self.out_len
-        if pad:
-            cfg = [(0, 0)] * planes[0].ndim
-            cfg[-1] = (0, pad)
-            planes = tuple(jnp.pad(p, cfg) for p in planes)
-        # 2-5) the two c2c legs threaded through per-mesh-axis all_to_alls.
+        chunks = self.pipeline_chunks
+
+        def rfft_pad(ps):
+            # r2c along whole pencils; zero-pad k2 to the shardable length.
+            if len(ps) == 2:  # dd limb planes
+                ps = self.rplan.rfft_planar_dd(ps[0], ps[1])
+            else:
+                ps = self.rplan.rfft_planar(ps[0])
+            pad = self.n2p - self.out_len
+            if pad:
+                cfg = [(0, 0)] * ps[0].ndim
+                cfg[-1] = (0, pad)
+                ps = tuple(jnp.pad(p, cfg) for p in ps)
+            return ps
+
+        # 1-5) r2c + the two c2c legs threaded through per-mesh-axis
+        # all_to_alls; each leg's collective is chunked along an uninvolved
+        # axis to overlap the next chunk's FFTs (_chunked_leg).
         if ax_b is not None:
-            planes = tuple(_a2a(p, ax_b, nb + 2, nb + 1) for p in planes)
-        planes = self._fft_axis(self.plan1, planes, -2, Transform.FFT)
-        planes = tuple(_a2a(p, ax_a, nb + 1, nb) for p in planes)
+            planes = _chunked_leg(
+                planes, rfft_pad, ax_b, nb + 2, nb + 1, nb, chunks
+            )
+        else:
+            planes = rfft_pad(planes)
+        planes = _chunked_leg(
+            planes,
+            lambda ps: self._fft_axis(self.plan1, ps, -2, Transform.FFT),
+            ax_a, nb + 1, nb, nb + 2, chunks,
+        )
         planes = self._fft_axis(self.plan0, planes, -3, Transform.FFT)
         if not self.spectral_output:
             planes = tuple(_a2a(p, ax_a, nb, nb + 1) for p in planes)
@@ -1125,11 +1205,23 @@ class Rfft3dPlan:
             if ax_b is not None:
                 planes = tuple(_a2a(p, ax_b, nb + 2, nb + 1) for p in planes)
             planes = tuple(_a2a(p, ax_a, nb + 1, nb) for p in planes)
-        planes = self._fft_axis(self.plan0, planes, -3, Transform.UNSCALED_IFFT)
-        planes = tuple(_a2a(p, ax_a, nb, nb + 1) for p in planes)
-        planes = self._fft_axis(self.plan1, planes, -2, Transform.UNSCALED_IFFT)
+        chunks = self.pipeline_chunks
+        planes = _chunked_leg(
+            planes,
+            lambda ps: self._fft_axis(self.plan0, ps, -3,
+                                      Transform.UNSCALED_IFFT),
+            ax_a, nb, nb + 1, nb + 2, chunks,
+        )
         if ax_b is not None:
-            planes = tuple(_a2a(p, ax_b, nb + 1, nb + 2) for p in planes)
+            planes = _chunked_leg(
+                planes,
+                lambda ps: self._fft_axis(self.plan1, ps, -2,
+                                          Transform.UNSCALED_IFFT),
+                ax_b, nb + 1, nb + 2, nb, chunks,
+            )
+        else:
+            planes = self._fft_axis(self.plan1, planes, -2,
+                                    Transform.UNSCALED_IFFT)
         # One global 1/(n0*n1); the c2r leg carries its own 1/n2 (numpy).
         planes = _scale_planes(planes, 1.0 / (self.n0 * self.n1))
         planes = tuple(p[..., : self.out_len] for p in planes)
@@ -1244,7 +1336,8 @@ class Rfft3dPlan:
             f"Rfft3dPlan(n0={self.n0}, n1={self.n1}, n2={self.n2}, "
             f"axes={self.axes!r}, dtype={self.dtype.name}, "
             f"out_len={self.out_len}, n2p={self.n2p}, "
-            f"spectral_output={self.spectral_output})"
+            f"spectral_output={self.spectral_output}, "
+            f"pipeline_chunks={self.pipeline_chunks})"
         )
 
     # -- pytree -------------------------------------------------------------
@@ -1258,6 +1351,7 @@ class Rfft3dPlan:
             self.axes,
             self.dtype.name,
             self.spectral_output,
+            self.pipeline_chunks,
             self.backend,
             self.mesh,
         )
@@ -1267,7 +1361,7 @@ class Rfft3dPlan:
     def tree_unflatten(cls, aux, children):
         obj = cls.__new__(cls)
         (obj.n0, obj.n1, obj.n2, obj.axes, dtype_name, obj.spectral_output,
-         obj.backend, obj.mesh) = aux
+         obj.pipeline_chunks, obj.backend, obj.mesh) = aux
         obj.dtype = np.dtype(dtype_name)
         obj.size = obj.n0 * obj.n1 * obj.n2
         obj.rplan, obj.plan0, obj.plan1 = children

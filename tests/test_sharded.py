@@ -703,3 +703,51 @@ def test_rfft3d_serialize_roundtrip(tmp_path):
         np.asarray(plan.rfft_planar(x)[0]),
         np.asarray(again.rfft_planar(x)[0]),
     )
+
+
+@pytest.mark.parametrize("chunks", [2, 4])
+def test_fft3d_pipelined_equivalence(chunks):
+    """3-D pencil pipeline_chunks must reproduce the monolithic legs
+    (chunk axis is uninvolved in the transpose -> same values)."""
+    rng = np.random.default_rng(RNG_SEED)
+    mesh = _mesh2()
+    dims = (8, 8, 16)
+    x = (
+        rng.standard_normal(dims) + 1j * rng.standard_normal(dims)
+    ).astype(np.complex64)
+    base = Fft3dPlan(*dims, mesh)
+    piped = Fft3dPlan(*dims, mesh, pipeline_chunks=chunks)
+    want = base.fft(x)
+    got = piped.fft(x)
+    np.testing.assert_allclose(got, want, atol=1e-5 * np.max(np.abs(want)))
+    # spectral legs too
+    bs = Fft3dPlan(*dims, mesh, spectral_output=True)
+    ps = Fft3dPlan(*dims, mesh, spectral_output=True,
+                   pipeline_chunks=chunks)
+    re, im = np.real(x).astype(np.float32), np.imag(x).astype(np.float32)
+    wre, wim = bs.transform_planar(re, im)
+    gre, gim = ps.transform_planar(re, im)
+    np.testing.assert_allclose(np.asarray(gre), np.asarray(wre), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gim), np.asarray(wim), atol=1e-3)
+    bre, bim = ps.transform_planar(gre, gim, Transform.IFFT,
+                                   from_spectral=True)
+    np.testing.assert_allclose(np.asarray(bre), re, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(bim), im, atol=1e-4)
+
+
+@pytest.mark.parametrize("chunks", [2, 4])
+def test_rfft3d_pipelined_equivalence(chunks):
+    from fourier_tpu.parallel import Rfft3dPlan
+
+    rng = np.random.default_rng(RNG_SEED)
+    mesh = _mesh2()
+    dims = (8, 8, 16)
+    x = rng.standard_normal(dims).astype(np.float32)
+    base = Rfft3dPlan(*dims, mesh)
+    piped = Rfft3dPlan(*dims, mesh, pipeline_chunks=chunks)
+    wre, wim = base.rfft_planar(x)
+    gre, gim = piped.rfft_planar(x)
+    np.testing.assert_allclose(np.asarray(gre), np.asarray(wre), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gim), np.asarray(wim), atol=1e-4)
+    back = piped.irfft_planar(gre, gim)
+    np.testing.assert_allclose(np.asarray(back), x, atol=1e-4)
