@@ -751,3 +751,33 @@ def test_rfft3d_pipelined_equivalence(chunks):
     np.testing.assert_allclose(np.asarray(gim), np.asarray(wim), atol=1e-4)
     back = piped.irfft_planar(gre, gim)
     np.testing.assert_allclose(np.asarray(back), x, atol=1e-4)
+
+
+def test_spectral_layout_halves_collectives_in_hlo():
+    """The spectral-layout contract is verified in the COMPILED HLO: a
+    filter-in-spectral-space roundtrip contains exactly half the all-to-all
+    ops of the natural-layout roundtrip (4 logical collectives vs 8)."""
+    from fourier_tpu.parallel import Rfft3dPlan
+
+    mesh = _mesh2()
+    x = np.random.default_rng(RNG_SEED).standard_normal((8, 8, 16)).astype(
+        np.float32
+    )
+    natural = Rfft3dPlan(8, 8, 16, mesh)
+    spectral = Rfft3dPlan(8, 8, 16, mesh, spectral_output=True)
+
+    def count_a2a(fn, *args):
+        return jax.jit(fn).lower(*args).compile().as_text().count("all-to-all")
+
+    def rt_natural(v):
+        re, im = natural.rfft_planar(v)
+        return natural.irfft_planar(re, im)
+
+    def rt_spectral(v):
+        re, im = spectral.rfft_planar(v)
+        return spectral.irfft_planar(re, im, from_spectral=True)
+
+    n_nat = count_a2a(rt_natural, x)
+    n_spec = count_a2a(rt_spectral, x)
+    assert n_nat > 0 and n_spec > 0
+    assert n_nat == 2 * n_spec, (n_nat, n_spec)
