@@ -2,6 +2,7 @@ from fourier_tpu.parallel.sharded import (
     Fft2dPlan,
     Fft3dPlan,
     FourStepPlan,
+    Rfft2dPlan,
     Rfft3dPlan,
     batched_irfft,
     batched_irfft_dd,
@@ -15,6 +16,7 @@ __all__ = [
     "Fft2dPlan",
     "Fft3dPlan",
     "FourStepPlan",
+    "Rfft2dPlan",
     "Rfft3dPlan",
     "batched_irfft",
     "batched_irfft_dd",

@@ -33,6 +33,11 @@ Four decompositions:
   runs on the halved one-sided spectrum (padded to shard evenly); same
   spectral-layout contract as :class:`Fft3dPlan`.
 
+* **Real-input 2-D FFT** (:class:`Rfft2dPlan`): the r2c twin of
+  :class:`Fft2dPlan` — half the transpose bytes, with a
+  ``transposed_output``/``from_transposed`` contract that drops the
+  restoring collectives of a filter roundtrip.
+
 Both sharded plan classes are first-class plans: registered pytrees with the
 ``FftPlan`` convenience surface (complex ``transform``/``fft``/``ifft``),
 arbitrary leading batch dimensions, save/load support
@@ -1033,6 +1038,248 @@ class Fft3dPlan(_ShardedPlanBase):
 
 
 # ---------------------------------------------------------------------------
+# Real-input 2-D FFT, row-sharded (image/field-scale r2c)
+# ---------------------------------------------------------------------------
+
+
+class Rfft2dPlan:
+    """Real-input 2-D FFT of shape (n1, n2), row-sharded over a mesh axis.
+
+    The r2c twin of :class:`Fft2dPlan`: local rfft along rows halves the
+    spectrum BEFORE any collective, so the all_to_all transpose moves
+    roughly half the bytes of the c2c plan. The one-sided axis is
+    zero-padded to ``n2p`` (next multiple of the mesh axis size) so it
+    shards evenly — static shapes, uniform shards; pad bins stay zero and
+    the inverse crops them (same contract as :class:`Rfft3dPlan`).
+
+    ``transposed_output=True`` leaves the spectrum in transposed layout
+    (..., n2p, n1) row-sharded over k2, saving the restoring all_to_all;
+    the inverse consumes that layout directly with ``from_transposed=True``
+    — a filter roundtrip costs 2 collectives instead of 4.
+
+    Planar logical output is (..., n1, n2p) with bins ``[..., :out_len]``
+    meaningful (numpy's rfft2 convention); :meth:`rfft`/:meth:`irfft` crop/
+    pad at the host boundary. dd (limb-planar) c128 supported: 2 real limb
+    planes in, 4 spectrum planes out.
+    """
+
+    def __init__(
+        self,
+        n1: int,
+        n2: int,
+        mesh: Mesh,
+        axis: str = "fft",
+        dtype=np.complex64,
+        transposed_output: bool = False,
+        backend: str = "auto",
+    ):
+        self.n1, self.n2 = int(n1), int(n2)
+        self.size = self.n1 * self.n2
+        self.mesh = mesh
+        self.axis = axis
+        self.dtype = np.dtype(dtype)
+        self.transposed_output = bool(transposed_output)
+        self.backend = backend
+        from fourier_tpu.rfft import RfftPlan
+
+        self.rplan = RfftPlan(self.n2, self.dtype, backend=backend)
+        self.col_plan = create_fft(self.n1, self.dtype, backend=backend)
+        s = mesh.shape[axis]
+        if self.n1 % s:
+            raise ValueError(
+                f"n1={self.n1} must be divisible by mesh axis {axis!r} "
+                f"size {s}"
+            )
+        self.out_len = self.n2 // 2 + 1
+        self.n2p = s * ((self.out_len + s - 1) // s)
+
+    @property
+    def real_dtype(self) -> np.dtype:
+        return np.dtype(np.float32 if self.dtype == np.complex64 else np.float64)
+
+    @property
+    def is_dd(self) -> bool:
+        return _is_dd_plan(self.col_plan)
+
+    @property
+    def nshards(self) -> int:
+        return self.mesh.shape[self.axis]
+
+    def __len__(self) -> int:
+        return self.size
+
+    # -- local (per-shard) computation --------------------------------------
+
+    def _local_fwd(self, planes: Tuple):
+        nb = planes[0].ndim - 2
+        # r2c along whole rows; zero-pad k2 to the shardable length.
+        if len(planes) == 2:  # dd limb planes
+            planes = self.rplan.rfft_planar_dd(planes[0], planes[1])
+        else:
+            planes = self.rplan.rfft_planar(planes[0])
+        pad = self.n2p - self.out_len
+        if pad:
+            cfg = [(0, 0)] * planes[0].ndim
+            cfg[-1] = (0, pad)
+            planes = tuple(jnp.pad(p, cfg) for p in planes)
+        # Transpose over ICI, column FFTs in the transposed view.
+        planes = tuple(_a2a(p, self.axis, nb + 1, nb) for p in planes)
+        planes = tuple(jnp.swapaxes(p, -1, -2) for p in planes)
+        planes = _apply_plan(self.col_plan, planes, Transform.FFT)
+        if self.transposed_output:
+            return planes  # (..., n2p_loc, n1), row-sharded over k2
+        planes = tuple(jnp.swapaxes(p, -1, -2) for p in planes)
+        planes = tuple(_a2a(p, self.axis, nb, nb + 1) for p in planes)
+        return planes
+
+    def _local_inv(self, planes: Tuple, from_transposed: bool):
+        nb = planes[0].ndim - 2
+        if not from_transposed:
+            # natural (..., n1_loc, n2p) -> transposed (..., n2p_loc, n1)
+            planes = tuple(_a2a(p, self.axis, nb + 1, nb) for p in planes)
+            planes = tuple(jnp.swapaxes(p, -1, -2) for p in planes)
+        planes = _apply_plan(self.col_plan, planes, Transform.IFFT)  # 1/n1
+        # k2 rows back together on each shard, then crop + c2r.
+        planes = tuple(_a2a(p, self.axis, nb + 1, nb) for p in planes)
+        planes = tuple(jnp.swapaxes(p, -1, -2) for p in planes)
+        planes = tuple(p[..., : self.out_len] for p in planes)
+        if len(planes) == 4:
+            return self.rplan.irfft_planar_dd(*planes)  # 1/n2 inside
+        return (self.rplan.irfft_planar(*planes),)
+
+    # -- sharded dispatch ----------------------------------------------------
+
+    def rfft_planar(self, *limbs) -> Tuple:
+        """Real planes (1; dd: 2 limbs) in, one-sided spectrum planes out
+        (2; dd: 4), trailing axis padded to ``n2p``."""
+        planes = tuple(jnp.asarray(p) for p in limbs)
+        want = 2 if self.is_dd else 1
+        if len(planes) != want:
+            raise ValueError(
+                f"expected {want} real input plane(s), got {len(planes)}"
+            )
+        if planes[0].shape[-2:] != (self.n1, self.n2):
+            raise ValueError(
+                f"trailing axes {planes[0].shape[-2:]} != plan shape "
+                f"({self.n1}, {self.n2})"
+            )
+        nb = planes[0].ndim - 2
+        bspec = (None,) * nb
+        natural = P(*bspec, self.axis, None)
+        out_spec = natural  # transposed layout is also leading-axis sharded
+        nout = 2 * len(planes)
+        fn = shard_map(
+            self._local_fwd,
+            mesh=self.mesh,
+            in_specs=((natural,) * len(planes),),
+            out_specs=(out_spec,) * nout,
+        )
+        return fn(planes)
+
+    def irfft_planar(self, *planes, from_transposed: bool = False):
+        """One-sided spectrum planes in, real field plane(s) out."""
+        planes = tuple(jnp.asarray(p) for p in planes)
+        want = 4 if self.is_dd else 2
+        if len(planes) != want:
+            raise ValueError(
+                f"expected {want} spectrum plane(s), got {len(planes)}"
+            )
+        shape = (
+            (self.n2p, self.n1) if from_transposed else (self.n1, self.n2p)
+        )
+        if planes[0].shape[-2:] != shape:
+            raise ValueError(
+                f"trailing axes {planes[0].shape[-2:]} != expected {shape} "
+                f"(planar spectra carry the pad tail)"
+            )
+        nb = planes[0].ndim - 2
+        bspec = (None,) * nb
+        spec = P(*bspec, self.axis, None)
+        nout = len(planes) // 2
+        fn = shard_map(
+            functools.partial(self._local_inv, from_transposed=from_transposed),
+            mesh=self.mesh,
+            in_specs=((spec,) * len(planes),),
+            out_specs=(spec,) * nout,
+        )
+        out = fn(planes)
+        return out if self.is_dd else out[0]
+
+    # -- complex convenience (numpy rfft2/irfft2 shapes) ---------------------
+
+    def rfft(self, x) -> np.ndarray:
+        """np.fft.rfft2 analog: real (..., n1, n2) in, complex
+        (..., n1, n2//2+1) out."""
+        x = np.asarray(x)
+        if self.is_dd:
+            from fourier_tpu.precision import ddreal as dd
+
+            xh, xl = dd.from_f64(x.astype(np.float64))
+            planes = self.rfft_planar(xh, xl)
+        else:
+            planes = self.rfft_planar(x.astype(self.real_dtype))
+        out = _join_complex(planes, self.dtype)
+        if self.transposed_output:
+            out = np.swapaxes(out, -1, -2)
+        return out[..., : self.out_len]
+
+    def irfft(self, y) -> np.ndarray:
+        """np.fft.irfft2 analog: complex (..., n1, n2//2+1) in (padded
+        length accepted), real (..., n1, n2) out."""
+        y = np.asarray(y)
+        if y.shape[-1] == self.out_len and self.n2p != self.out_len:
+            pad = [(0, 0)] * (y.ndim - 1) + [(0, self.n2p - self.out_len)]
+            y = np.pad(y, pad)
+        if y.shape[-2:] != (self.n1, self.n2p):
+            raise ValueError(
+                f"trailing axes {y.shape[-2:]} != ({self.n1}, "
+                f"{self.out_len} or {self.n2p})"
+            )
+        planes = _split_complex(y, 4 if self.is_dd else 2, self.real_dtype)
+        out = self.irfft_planar(*planes)
+        if self.is_dd:
+            from fourier_tpu.precision import ddreal as dd
+
+            return dd.to_f64((np.asarray(out[0]), np.asarray(out[1])))
+        return np.asarray(out)
+
+    def __repr__(self):
+        return (
+            f"Rfft2dPlan(n1={self.n1}, n2={self.n2}, axis={self.axis!r}, "
+            f"dtype={self.dtype.name}, out_len={self.out_len}, "
+            f"n2p={self.n2p}, transposed_output={self.transposed_output})"
+        )
+
+    # -- pytree -------------------------------------------------------------
+
+    def tree_flatten(self):
+        children = (self.rplan, self.col_plan)
+        aux = (
+            self.n1,
+            self.n2,
+            self.axis,
+            self.dtype.name,
+            self.transposed_output,
+            self.backend,
+            self.mesh,
+        )
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        (obj.n1, obj.n2, obj.axis, dtype_name, obj.transposed_output,
+         obj.backend, obj.mesh) = aux
+        obj.dtype = np.dtype(dtype_name)
+        obj.size = obj.n1 * obj.n2
+        obj.rplan, obj.col_plan = children
+        s = obj.mesh.shape[obj.axis]
+        obj.out_len = obj.n2 // 2 + 1
+        obj.n2p = s * ((obj.out_len + s - 1) // s)
+        return obj
+
+
+# ---------------------------------------------------------------------------
 # Real-input 3-D FFT, pencil-decomposed (the pseudospectral-solver kernel)
 # ---------------------------------------------------------------------------
 
@@ -1371,7 +1618,7 @@ class Rfft3dPlan:
         return obj
 
 
-for _cls in (FourStepPlan, Fft2dPlan, Fft3dPlan, Rfft3dPlan):
+for _cls in (FourStepPlan, Fft2dPlan, Fft3dPlan, Rfft2dPlan, Rfft3dPlan):
     jax.tree_util.register_pytree_node(
         _cls, lambda p: p.tree_flatten(), _cls.tree_unflatten
     )

@@ -33,7 +33,8 @@ _FORMAT_VERSION = 2
 def _plan_registry():
     """Explicit allowlist of reconstructable plan classes (name -> class)."""
     from fourier_tpu.parallel.sharded import (Fft2dPlan, Fft3dPlan,
-                                               FourStepPlan, Rfft3dPlan)
+                                               FourStepPlan, Rfft2dPlan,
+                                               Rfft3dPlan)
     from fourier_tpu.plan.autosort import AutosortPlan
     from fourier_tpu.plan.bluestein import BluesteinPlan
     from fourier_tpu.plan.bluestein_fused import VpuBluesteinPlan
@@ -64,6 +65,7 @@ def _plan_registry():
             FourStepPlan,
             Fft2dPlan,
             Fft3dPlan,
+            Rfft2dPlan,
             Rfft3dPlan,
             RfftPlan,
         )

@@ -781,3 +781,68 @@ def test_spectral_layout_halves_collectives_in_hlo():
     n_spec = count_a2a(rt_spectral, x)
     assert n_nat > 0 and n_spec > 0
     assert n_nat == 2 * n_spec, (n_nat, n_spec)
+
+
+# ---------------------------------------------------------------------------
+# Real-input 2-D FFT (row-sharded)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n2", [32, 21])
+def test_rfft2d_vs_numpy(n2):
+    from fourier_tpu.parallel import Rfft2dPlan
+
+    rng = np.random.default_rng(RNG_SEED)
+    mesh = _mesh()
+    plan = Rfft2dPlan(16, n2, mesh)
+    x = rng.standard_normal((16, n2)).astype(np.float32)
+    got = plan.rfft(x)
+    want = np.fft.rfft2(x)
+    assert got.shape == want.shape
+    assert np.max(np.abs(got - want)) < 1e-3 * max(1.0, np.max(np.abs(want)))
+    back = plan.irfft(got)
+    assert np.max(np.abs(back - x)) < 1e-4
+
+
+def test_rfft2d_transposed_roundtrip_and_batch():
+    from fourier_tpu.parallel import Rfft2dPlan
+
+    rng = np.random.default_rng(RNG_SEED)
+    mesh = _mesh()
+    plan = Rfft2dPlan(16, 32, mesh, transposed_output=True)
+    x = rng.standard_normal((3, 16, 32)).astype(np.float32)
+    re, im = plan.rfft_planar(x)
+    assert re.shape == (3, plan.n2p, 16)  # transposed layout
+    got = np.swapaxes(np.asarray(re) + 1j * np.asarray(im), -1, -2)
+    want = np.fft.rfft2(x, axes=(-2, -1))
+    assert np.max(
+        np.abs(got[..., : plan.out_len] - want)
+    ) < 1e-3 * max(1.0, np.max(np.abs(want)))
+    back = plan.irfft_planar(re, im, from_transposed=True)
+    assert np.max(np.abs(np.asarray(back) - x)) < 1e-4
+
+
+def test_rfft2d_dd_and_serialize(tmp_path):
+    from fourier_tpu.parallel import Rfft2dPlan
+    from fourier_tpu.plan.serialize import load_plan, save_plan
+
+    rng = np.random.default_rng(RNG_SEED)
+    mesh = _mesh()
+    plan = Rfft2dPlan(8, 24, mesh, dtype=np.complex128, backend="dd")
+    assert plan.is_dd
+    x = rng.standard_normal((8, 24))
+    got = plan.rfft(x)
+    want = np.fft.rfft2(x)
+    assert np.max(np.abs(got - want)) < 1e-12 * max(1.0, np.max(np.abs(want)))
+    back = plan.irfft(got)
+    assert np.max(np.abs(back - x)) < 1e-12
+
+    c64 = Rfft2dPlan(8, 24, mesh)
+    path = str(tmp_path / "rfft2d.npz")
+    save_plan(c64, path)
+    again = load_plan(path, mesh=mesh)
+    xs = rng.standard_normal((8, 24)).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(c64.rfft_planar(xs)[0]),
+        np.asarray(again.rfft_planar(xs)[0]),
+    )
