@@ -469,7 +469,7 @@ def vpu_bluestein_batch_minor(
             ] * 2
             const_args += [jnp.asarray(tre), jnp.asarray(tim)]
     for tre, tim in chirp_tables:
-        shp = np.asarray(tre).shape
+        shp = tre.shape  # works for tracers (plan passed as a jit argument)
         const_specs += [
             pl.BlockSpec(shp, lambda i: (0, 0), memory_space=_VMEM)
         ] * 2

@@ -36,6 +36,57 @@ def _execute(plan, re, im, transform: Transform):
     return plan._apply(re, im, transform)
 
 
+# -- autodiff through hardware-kernel plans ---------------------------------
+#
+# XLA differentiates the pure-jnp families natively (both modes, verified in
+# tests/test_autodiff.py), but Mosaic kernels have no AD rules. The FFT is
+# LINEAR, so its reverse-mode rule needs no kernel internals: the DFT matrix
+# W (W_jk = w^jk) is symmetric, and the transpose of the planar real map
+# [[A, -B], [B, A]] of M = A + iB is the map of conj(M) — for W that is the
+# UNSCALED inverse matrix. The VJP of a fused-kernel FFT is therefore just
+# another fused-kernel call in the transposed mode:
+#
+#   FFT <-> UNSCALED_IFFT,  SQRT pair <-> each other,  IFFT -> FFT / N.
+
+_TRANSPOSE_MODE = {
+    Transform.FFT: (Transform.UNSCALED_IFFT, False),
+    Transform.UNSCALED_IFFT: (Transform.FFT, False),
+    Transform.IFFT: (Transform.FFT, True),
+    Transform.SQRT_SCALED_FFT: (Transform.SQRT_SCALED_IFFT, False),
+    Transform.SQRT_SCALED_IFFT: (Transform.SQRT_SCALED_FFT, False),
+}
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _execute_linear(plan, re, im, transform: Transform):
+    return plan._apply(re, im, transform)
+
+
+def _execute_linear_fwd(plan, re, im, transform: Transform):
+    return _execute_linear(plan, re, im, transform), plan
+
+
+def _execute_linear_bwd(transform: Transform, plan, ct):
+    ctre, ctim = ct
+    tmode, scale_1n = _TRANSPOSE_MODE[Transform(transform)]
+    gre, gim = plan._apply(ctre, ctim, tmode)
+    if scale_1n:
+        s = jnp.asarray(1.0 / plan.size).astype(gre.dtype)
+        gre, gim = gre * s, gim * s
+    # Plan constants (twiddle tables) get zero cotangents: nobody trains
+    # twiddles, and nondiff_argnums cannot hold array-valued pytrees.
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, plan)
+    return zeros, gre, gim
+
+
+_execute_linear.defvjp(_execute_linear_fwd, _execute_linear_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("transform",))
+def _execute_opaque(plan, re, im, transform: Transform):
+    return _execute_linear(plan, re, im, transform)
+
+
 class FftPlan:
     """Base class for FFT plans (``trait Fft`` analog, ``fft.rs:40-82``)."""
 
@@ -56,6 +107,16 @@ class FftPlan:
     @property
     def eager_host_ok(self) -> bool:
         return type(self)._eager_host
+
+    # Families whose _apply XLA cannot differentiate (Mosaic kernels) opt
+    # in; transform_planar then routes through the linearity-based custom
+    # VJP (_execute_linear) so grad works at full kernel speed. Composite
+    # plans OR over their sub-plans.
+    _ad_opaque = False
+
+    @property
+    def ad_opaque(self) -> bool:
+        return type(self)._ad_opaque
 
     def transform_planar(
         self, re, im, transform: Transform = Transform.FFT
@@ -79,7 +140,8 @@ class FftPlan:
             re = re.astype(rt)
         if im.dtype != rt:
             im = im.astype(rt)
-        return _execute(self, re, im, Transform(transform))
+        run = _execute_opaque if self.ad_opaque else _execute
+        return run(self, re, im, Transform(transform))
 
     # -- complex convenience (host/CPU boundary) --------------------------
 

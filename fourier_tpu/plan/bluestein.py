@@ -63,6 +63,10 @@ class BluesteinPlan(FftPlan):
         # (a fused Pallas inner would hit the Mosaic interpreter).
         return getattr(self.inner, "eager_host_ok", False)
 
+    @property
+    def ad_opaque(self) -> bool:
+        return getattr(self.inner, "ad_opaque", False)
+
     @classmethod
     def create(cls, size: int, dtype=np.complex64, inner_factory=None) -> "BluesteinPlan":
         """Plan an arbitrary size. `inner_factory(size, dtype)` builds the

@@ -34,6 +34,8 @@ from fourier_tpu.transform import Transform
 class VpuBluesteinPlan(FftPlan):
     """One-kernel Bluestein chirp-z plan (c64, batch-minor native)."""
 
+    _ad_opaque = True  # Mosaic kernel: AD via the linear custom VJP
+
     MAX_INNER = 8192  # VMEM ceiling for the double pipeline (measured)
 
     def __init__(self, size, m_inner, dtype, stage_tables, chirps_fwd,

@@ -77,6 +77,12 @@ class FourStepLocalPlan(FftPlan):
             self.row_plan, "eager_host_ok", False
         )
 
+    @property
+    def ad_opaque(self) -> bool:
+        return getattr(self.col_plan, "ad_opaque", False) or getattr(
+            self.row_plan, "ad_opaque", False
+        )
+
     @classmethod
     def create(cls, size: int, dtype, p: int, q: int, plan_factory):
         """Build from `plan_factory(sub_size, dtype) -> FftPlan`."""

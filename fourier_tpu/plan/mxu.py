@@ -45,6 +45,8 @@ def _planar(a: np.ndarray, real_dtype) -> Tuple[jnp.ndarray, jnp.ndarray]:
 class MxuFftPlan(FftPlan):
     """Fused-MXU FFT plan for n = n1*n2 (n1, n2 <= 128)."""
 
+    _ad_opaque = True  # Pallas path has no AD rules; linear custom VJP
+
     def __init__(self, size, n1, n2, dtype, fwd_tables, inv_tables,
                  interpret=False, tb=None, impl="xla"):
         self.size = int(size)

@@ -25,6 +25,8 @@ class VpuFftPlan(FftPlan):
     """Fused-VPU mixed radix-64/8/4/3/2 plan (n = 2^a*3^b, 8|n, 64..16384),
     batch-minor."""
 
+    _ad_opaque = True  # Mosaic kernel: AD via the linear custom VJP
+
     def __init__(self, size, dtype, fwd_tables, inv_tables, cb=128,
                  interpret=False, vmem_limit_bytes=None):
         self.size = int(size)
