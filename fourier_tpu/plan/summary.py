@@ -228,6 +228,102 @@ def summarize(plan) -> PlanSummary:
             "DoubleDouble", n, "complex128(dd)", flops, 0, io_dd, stages, children
         )
 
+    # -- sharded plan families (fourier_tpu.parallel) ------------------------
+    try:
+        from fourier_tpu.parallel.sharded import (
+            Fft2dPlan, Fft3dPlan, FourStepPlan, Rfft2dPlan, Rfft3dPlan)
+    except ImportError:  # pragma: no cover
+        Fft2dPlan = Fft3dPlan = FourStepPlan = Rfft2dPlan = Rfft3dPlan = ()
+
+    if FourStepPlan and isinstance(plan, FourStepPlan):
+        col = summarize(plan.col_plan)
+        row = summarize(plan.row_plan)
+        flops = (plan.n2 * col.flops_per_transform
+                 + plan.n1 * row.flops_per_transform + 6.0 * n)
+        stages = [
+            f"column FFTs ({plan.n1}-point, sharded over {plan.axis!r})",
+            "split twiddle",
+            f"all_to_all transpose over {plan.axis!r} (ICI)",
+            f"row FFTs ({plan.n2}-point)",
+        ]
+        return PlanSummary("FourStepSharded", n, plan.dtype.name, flops,
+                           col.table_bytes + row.table_bytes, io, stages,
+                           [col, row])
+
+    if Fft2dPlan and isinstance(plan, Fft2dPlan):
+        col = summarize(plan.col_plan)
+        row = summarize(plan.row_plan)
+        flops = (plan.n1 * row.flops_per_transform
+                 + plan.n2 * col.flops_per_transform)
+        stages = [
+            f"row FFTs ({plan.n2}-point, rows sharded over {plan.axis!r})",
+            f"all_to_all transpose over {plan.axis!r} (ICI)"
+            + (f", {plan.pipeline_chunks} overlapped chunks"
+               if plan.pipeline_chunks > 1 else ""),
+            f"column FFTs ({plan.n1}-point)",
+        ] + ([] if plan.transposed_output
+             else ["all_to_all layout restore (ICI)"])
+        return PlanSummary("Fft2dSharded", n, plan.dtype.name, flops,
+                           col.table_bytes + row.table_bytes, io, stages,
+                           [row, col])
+
+    if Rfft2dPlan and isinstance(plan, Rfft2dPlan):
+        rp = summarize(plan.rplan)
+        col = summarize(plan.col_plan)
+        flops = (plan.n1 * rp.flops_per_transform
+                 + plan.n2p * col.flops_per_transform)
+        stages = [
+            f"row r2c FFTs ({plan.n2}->{plan.out_len} bins, pad to "
+            f"{plan.n2p})",
+            f"all_to_all transpose over {plan.axis!r} (half-spectrum bytes)",
+            f"column FFTs ({plan.n1}-point)",
+        ] + ([] if plan.transposed_output
+             else ["all_to_all layout restore (ICI)"])
+        return PlanSummary("Rfft2dSharded", n, plan.dtype.name, flops,
+                           rp.table_bytes + col.table_bytes,
+                           n * eb // 2, stages, [rp, col])
+
+    if Fft3dPlan and isinstance(plan, Fft3dPlan):
+        subs = [summarize(p) for p in (plan.plan0, plan.plan1, plan.plan2)]
+        per_line = (plan.n0 * plan.n1, plan.n0 * plan.n2, plan.n1 * plan.n2)
+        flops = sum(c * s.flops_per_transform
+                    for c, s in zip(per_line, subs))
+        ax = "/".join(repr(a) for a in plan.axes)
+        stages = [
+            f"n2 FFTs ({plan.n2}-point, pencils whole)",
+            f"all_to_all over {ax} (ICI)"
+            + (f", {plan.pipeline_chunks} overlapped chunks"
+               if plan.pipeline_chunks > 1 else ""),
+            f"n1 FFTs ({plan.n1}-point)",
+            "all_to_all over first mesh axis (ICI)",
+            f"n0 FFTs ({plan.n0}-point)",
+        ] + ([] if plan.spectral_output
+             else ["mirror all_to_alls: natural layout restore"])
+        return PlanSummary("Fft3dPencil", n, plan.dtype.name, flops,
+                           sum(s.table_bytes for s in subs), io, stages,
+                           subs)
+
+    if Rfft3dPlan and isinstance(plan, Rfft3dPlan):
+        subs = [summarize(p) for p in (plan.rplan, plan.plan1, plan.plan0)]
+        flops = (plan.n0 * plan.n1 * subs[0].flops_per_transform
+                 + plan.n0 * plan.n2p * subs[1].flops_per_transform
+                 + plan.n1 * plan.n2p * subs[2].flops_per_transform)
+        ax = "/".join(repr(a) for a in plan.axes)
+        stages = [
+            f"n2 r2c FFTs ({plan.n2}->{plan.out_len} bins, pad to "
+            f"{plan.n2p})",
+            f"all_to_all over {ax} (half-spectrum bytes)"
+            + (f", {plan.pipeline_chunks} overlapped chunks"
+               if plan.pipeline_chunks > 1 else ""),
+            f"n1 FFTs ({plan.n1}-point)",
+            "all_to_all over first mesh axis (ICI)",
+            f"n0 FFTs ({plan.n0}-point)",
+        ] + ([] if plan.spectral_output
+             else ["mirror all_to_alls: natural layout restore"])
+        return PlanSummary("Rfft3dPencil", n, plan.dtype.name, flops,
+                           sum(s.table_bytes for s in subs),
+                           n * eb // 2, stages, subs)
+
     return PlanSummary(type(plan).__name__, n, plan.dtype.name, 0.0, 0, io)
 
 

@@ -63,3 +63,35 @@ def test_summarize_new_plan_families():
     assert s.kind == "RealFft" and s.children
     # dd rfft renders end-to-end (regression: plan.n vs plan.size)
     assert "RealFft" in describe(RfftPlan(100, np.complex128, backend="dd"))
+
+
+def test_summarize_sharded_plans():
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from fourier_tpu.parallel import (Fft2dPlan, Fft3dPlan, FourStepPlan,
+                                      Rfft2dPlan, Rfft3dPlan)
+    from fourier_tpu.plan.summary import summarize
+
+    devs = np.array(jax.devices())
+    mesh1 = Mesh(devs, ("fft",))
+    mesh2 = Mesh(devs.reshape(2, 4), ("x", "y"))
+    cases = [
+        (FourStepPlan(16, 16, mesh1), "FourStepSharded"),
+        (Fft2dPlan(16, 32, mesh1, pipeline_chunks=2), "Fft2dSharded"),
+        (Rfft2dPlan(16, 32, mesh1), "Rfft2dSharded"),
+        (Fft3dPlan(8, 8, 8, mesh2), "Fft3dPencil"),
+        (Rfft3dPlan(8, 8, 16, mesh2, spectral_output=True), "Rfft3dPencil"),
+    ]
+    for plan, kind in cases:
+        s = summarize(plan)
+        assert s.kind == kind
+        assert s.flops_per_transform > 0
+        assert s.children  # sub-plans are summarized recursively
+        assert any("all_to_all" in st for st in s.stages)
+    # spectral_output drops the layout-restore stage
+    s = summarize(cases[-1][0])
+    assert not any("restore" in st for st in s.stages)
+    s2 = summarize(cases[-2][0])
+    assert any("restore" in st for st in s2.stages)
