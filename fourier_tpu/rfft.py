@@ -112,6 +112,17 @@ class RfftPlan:
 
     # -- internals ----------------------------------------------------------
 
+    def _inner_apply(self, re, im, mode):
+        """Inner c2c dispatch: direct `_apply` for eager numpy and for
+        natively-differentiable plans; `transform_planar` (which carries the
+        linearity-based custom VJP, plan/base.py) for Mosaic-kernel inners so
+        rfft/irfft gradients work on TPU."""
+        if getattr(self.inner, "ad_opaque", False) and not isinstance(
+            re, np.ndarray
+        ):
+            return self.inner.transform_planar(re, im, mode)
+        return self.inner._apply(re, im, mode)
+
     @staticmethod
     def _mirror(zr, zi):
         """conj(Z[(m-k) mod m]) planes from Z planes (vectorized unpack)."""
@@ -125,7 +136,7 @@ class RfftPlan:
         w_re, w_im = self._w_tables(xp)
         # Even/odd de-interleave is a reshape in planar form: (..., m, 2).
         pair = x.reshape(*x.shape[:-1], self.m, 2)
-        zr, zi = self.inner._apply(
+        zr, zi = self._inner_apply(
             xp.ascontiguousarray(pair[..., 0]) if xp is np else pair[..., 0],
             xp.ascontiguousarray(pair[..., 1]) if xp is np else pair[..., 1],
             Transform.FFT,
@@ -169,13 +180,13 @@ class RfftPlan:
         o_i = w_re * woi - w_im * wor
         # Z[k] = E[k] + i*O[k]
         zr, zi = er - o_i, ei + o_r
-        zr, zi = self.inner._apply(zr, zi, Transform.IFFT)  # 1/m scaling
+        zr, zi = self._inner_apply(zr, zi, Transform.IFFT)  # 1/m scaling
         out = xp.stack([zr, zi], axis=-1)
         return out.reshape(*zr.shape[:-1], self.n)
 
     def _rfft_odd_single(self, x):
         zero = _xp(x).zeros_like(x)
-        fr, fi = self.inner._apply(x, zero, Transform.FFT)
+        fr, fi = self._inner_apply(x, zero, Transform.FFT)
         return fr[..., : self.out_len], fi[..., : self.out_len]
 
     def _rfft_odd(self, x):
@@ -200,7 +211,7 @@ class RfftPlan:
         # gathers and row interleaves measure ~5x slower than slab
         # slicing/concat on this chip).
         h = bsz // 2
-        zr, zi = self.inner._apply(xf[:h], xf[h : 2 * h], Transform.FFT)
+        zr, zi = self._inner_apply(xf[:h], xf[h : 2 * h], Transform.FFT)
         # Reversed planes Z[(n-k) mod n], truncated to the one-sided length.
         xp = _xp(zr)
         zsr = xp.concatenate([zr[..., :1], zr[..., : L - 1 : -1]], axis=-1)
@@ -225,7 +236,7 @@ class RfftPlan:
         xp = _xp(re)
         fr = xp.concatenate([re, tail_r], axis=-1)
         fi = xp.concatenate([im, tail_i], axis=-1)
-        xr, _ = self.inner._apply(fr, fi, Transform.IFFT)
+        xr, _ = self._inner_apply(fr, fi, Transform.IFFT)
         return xr
 
     def _irfft_odd(self, re, im):
@@ -260,7 +271,7 @@ class RfftPlan:
         xp = _xp(zr_head)
         zr = xp.concatenate([zr_head, zr_tail], axis=-1)
         zi = xp.concatenate([zi_head, zi_tail], axis=-1)
-        or_, oi = self.inner._apply(zr, zi, Transform.IFFT)  # 1/n scaling
+        or_, oi = self._inner_apply(zr, zi, Transform.IFFT)  # 1/n scaling
         parts = [or_, oi]
         if 2 * h != bsz:
             parts.append(self._irfft_odd_single(rf[2 * h :], if_[2 * h :]))

@@ -141,3 +141,39 @@ def test_fused_bluestein_custom_vjp():
     np.testing.assert_allclose(
         np.asarray(g_f[0]), np.asarray(g_o[0]), atol=1e-3, rtol=1e-3
     )
+
+
+def test_rfft_grad_with_fused_inner():
+    """rfft/irfft gradients work when the inner c2c is a Mosaic kernel
+    (RfftPlan._inner_apply routes opaque inners through the custom VJP)."""
+    from fourier_tpu.rfft import RfftPlan
+
+    fused = RfftPlan(128, backend="vpu")
+    oracle = RfftPlan(128, backend="stockham")
+    assert fused.inner.ad_opaque and not oracle.inner.ad_opaque
+    x = jnp.asarray(RNG.standard_normal((2, 128)).astype(np.float32))
+    cre = jnp.asarray(RNG.standard_normal((2, 65)).astype(np.float32))
+    cim = jnp.asarray(RNG.standard_normal((2, 65)).astype(np.float32))
+
+    def loss(plan):
+        def f(v):
+            re, im = plan.rfft_planar(v)
+            return jnp.sum(re * cre + im * cim)
+
+        return f
+
+    g = jax.grad(loss(fused))(x)
+    go = jax.grad(loss(oracle))(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(go), atol=1e-3)
+
+    ct = jnp.asarray(RNG.standard_normal((2, 128)).astype(np.float32))
+    gi = jax.grad(
+        lambda r, i: jnp.sum(fused.irfft_planar(r, i) * ct), argnums=(0, 1)
+    )(cre, cim)
+    goi = jax.grad(
+        lambda r, i: jnp.sum(oracle.irfft_planar(r, i) * ct), argnums=(0, 1)
+    )(cre, cim)
+    np.testing.assert_allclose(np.asarray(gi[0]), np.asarray(goi[0]),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gi[1]), np.asarray(goi[1]),
+                               atol=1e-3)
