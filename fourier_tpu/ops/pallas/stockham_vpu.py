@@ -11,14 +11,16 @@ zero matmuls. The whole transform runs input-once/output-once against HBM with
 every intermediate stage VMEM-resident (the reference keeps its ping-pong
 buffers in L1/registers the same way, ``autosort/mod.rs:337-378``).
 
-Restriction: n = 2^a * 3^b with 8 | n and 64 <= n <= 16384 (mixed
-radix-64/8/4/3/2 schedules with a leading pow2 stage keep every stage's
-interleave stride 8-aligned; see radix_schedule), plus the pure 3^b sizes
-243..6561 via measured two-stage in-register 27/81 schedules
+Restriction: n = 2^a * 3^b * 5^c with 8 | n and 64 <= n <= 16384 (mixed
+radix-64/8/4/3/2 + 125/25/5 schedules with a leading pow2 stage keep every
+stage's interleave stride 8-aligned; see radix_schedule), plus the pure 3^b
+sizes 243..6561 via measured two-stage in-register 27/81 schedules
 (_POW3_SCHEDULES — 1.9-2.5x the MXU two-phase path despite the misaligned
 3-based interleaves, because two in-register two-level stages need only one
-interleave pass). Other sizes use the MXU/XLA
-paths. Batch-minor is the framework's native
+interleave pass) and the pure 5^c sizes 625/3125 via the radix-125/25 twins
+(_POW5_SCHEDULES — 2.0-2.5x the direct-matmul/Bluestein defaults they
+replace; 125 itself stays on the at-peak direct DFT matmul). Other sizes
+use the MXU/XLA paths. Batch-minor is the framework's native
 batched layout for chained spectral pipelines (fft -> pointwise -> ifft needs
 no transposes anywhere); batch-major callers pay one XLA transpose each way.
 """
@@ -56,9 +58,23 @@ _POW3_SCHEDULES = {
     6561: (81, 81),
 }
 
+# Pure 5^c stage schedules (round 3, second half): same two-level in-register
+# composition idea as _POW3_SCHEDULES, radix-25/125 blocks built from the
+# real-constant radix-5 butterfly. Chosen by on-chip measurement (chained,
+# element-fetch sync, B=65536/16384): 625 (125,5) 518 GF beats (25,25) 422
+# and (5,125) 345 — and the prior direct-matmul default's 264; 3125 (125,25)
+# 515 GF beats (25,125) 284 and the prior Bluestein default's 209. n=125 is
+# deliberately ABSENT: its best fused schedule (25,5) measured 330 GF vs the
+# direct at-peak DFT matmul's 699, so it stays on the MXU direct path.
+_POW5_SCHEDULES = {
+    625: (125, 5),
+    3125: (125, 25),
+}
+
 
 def radix_schedule(n: int) -> Optional[Sequence[int]]:
-    """Stage radices for n = 2^a * 3^b with 8 | n, 64 <= n <= 16384.
+    """Stage radices for n = 2^a * 3^b * 5^c with 8 | n, 64 <= n <= 16384,
+    plus the tabled pure 3^b and 5^c sizes.
 
     Greedy radix-64 stages (the 64-point butterfly's internal 8x8 exchange is
     pure register-level value shuffling with constant twiddles, halving the
@@ -79,13 +95,20 @@ def radix_schedule(n: int) -> Optional[Sequence[int]]:
     while pow2 % 3 == 0:
         pow2 //= 3
         threes += 1
+    fives = 0
+    while pow2 % 5 == 0:
+        pow2 //= 5
+        fives += 1
     if pow2 & (pow2 - 1):
-        return None  # not 2^a * 3^b
+        return None  # not 2^a * 3^b * 5^c
     if pow2 < 8:
         # Pure 3^b sizes: two-stage in-register 27/81 schedules (the round-2
         # many-stage radix-9 attempt lost to the MXU path; two stages halve
-        # the misaligned 3-based interleave passes).
-        if pow2 == 1 and n in _POW3_SCHEDULES:
+        # the misaligned 3-based interleave passes). Pure 5^c sizes: the
+        # radix-25/125 twins.
+        if pow2 == 1 and threes == 0 and n in _POW5_SCHEDULES:
+            return list(_POW5_SCHEDULES[n])
+        if pow2 == 1 and fives == 0 and n in _POW3_SCHEDULES:
             return list(_POW3_SCHEDULES[n])
         return None  # first stage must be a pow2 radix >= 8
     sched = []
@@ -103,6 +126,17 @@ def radix_schedule(n: int) -> Optional[Sequence[int]]:
         sched.append(int(m))  # 4 or 2
     sched.extend([9] * (threes // 2))
     sched.extend([3] * (threes % 2))
+    # Greedy-large radix-5 blocks (125 > 25 > 5): matches the measured pure
+    # 5^c winners (625 = [125,5], 3125 = [125,25]) — bigger in-register
+    # blocks amortize the misaligned 5-based interleave passes.
+    rem5 = fives
+    while rem5 >= 3:
+        sched.append(125)
+        rem5 -= 3
+    if rem5 == 2:
+        sched.append(25)
+    elif rem5 == 1:
+        sched.append(5)
     return sched
 
 
@@ -247,6 +281,56 @@ def _butterfly4(parts, forward: bool):
     ]
 
 
+_C51 = np.float32(np.cos(2.0 * np.pi / 5.0))
+_C52 = np.float32(np.cos(4.0 * np.pi / 5.0))
+_S51 = np.float32(np.sin(2.0 * np.pi / 5.0))
+_S52 = np.float32(np.sin(4.0 * np.pi / 5.0))
+
+
+def _butterfly5(parts, forward: bool):
+    """Radix-5 DIT butterfly, real-constant form.
+
+    With t1 = x1+x4, t2 = x2+x3, t3 = x1-x4, t4 = x2-x3 and
+    w = e^(sign*2πi/5) (sign = -1 forward):
+      y0 = x0 + t1 + t2
+      y1/y4 = x0 + c1*t1 + c2*t2 ± i*sign*(s1*t3 + s2*t4)
+      y2/y3 = x0 + c2*t1 + c1*t2 ± i*sign*(s2*t3 - s1*t4)
+    Same sum/difference symmetry trick as the reference's radix-3
+    (``butterfly.rs:9-22``), one radix higher.
+    """
+    (x0r, x0i), (x1r, x1i), (x2r, x2i), (x3r, x3i), (x4r, x4i) = parts
+    sg = np.float32(-1.0) if forward else np.float32(1.0)
+    t1r, t1i = x1r + x4r, x1i + x4i
+    t2r, t2i = x2r + x3r, x2i + x3i
+    t3r, t3i = x1r - x4r, x1i - x4i
+    t4r, t4i = x2r - x3r, x2i - x3i
+    # a = x0 + c1*t1 + c2*t2 ;  b = x0 + c2*t1 + c1*t2
+    ar = x0r + _C51 * t1r + _C52 * t2r
+    ai = x0i + _C51 * t1i + _C52 * t2i
+    br = x0r + _C52 * t1r + _C51 * t2r
+    bi = x0i + _C52 * t1i + _C51 * t2i
+    # u = s1*t3 + s2*t4 ;  v = s2*t3 - s1*t4 ;  i*sign*z = (-sign*zi, sign*zr)
+    ur, ui = _S51 * t3r + _S52 * t4r, _S51 * t3i + _S52 * t4i
+    vr, vi = _S52 * t3r - _S51 * t4r, _S52 * t3i - _S51 * t4i
+    return [
+        (x0r + t1r + t2r, x0i + t1i + t2i),
+        (ar - sg * ui, ai + sg * ur),
+        (br - sg * vi, bi + sg * vr),
+        (br + sg * vi, bi - sg * vr),
+        (ar + sg * ui, ai - sg * ur),
+    ]
+
+
+def _butterfly25(parts, forward: bool):
+    """25-point DFT as 5x5 Cooley-Tukey in registers (see _two_level)."""
+    return _two_level(parts, 5, 5, _butterfly5, _butterfly5, forward)
+
+
+def _butterfly125(parts, forward: bool):
+    """125-point DFT as 25x5 Cooley-Tukey in registers (see _two_level)."""
+    return _two_level(parts, 5, 25, _butterfly5, _butterfly25, forward)
+
+
 def _butterfly9(parts, forward: bool):
     """9-point DFT as 3x3 Cooley-Tukey in registers (see _two_level)."""
     return _two_level(parts, 3, 3, _butterfly3, _butterfly3, forward)
@@ -263,8 +347,9 @@ def _butterfly81(parts, forward: bool):
 
 
 _BUTTERFLIES = {
-    2: _butterfly2, 3: _butterfly3, 4: _butterfly4, 8: _butterfly8,
-    9: _butterfly9, 27: _butterfly27, 64: _butterfly64, 81: _butterfly81,
+    2: _butterfly2, 3: _butterfly3, 4: _butterfly4, 5: _butterfly5,
+    8: _butterfly8, 9: _butterfly9, 25: _butterfly25, 27: _butterfly27,
+    64: _butterfly64, 81: _butterfly81, 125: _butterfly125,
 }
 
 

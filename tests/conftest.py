@@ -42,6 +42,9 @@ _SLOW_PATTERNS = (
     "test_vpu.py::test_vpu_batch_minor_vs_oracle[729",
     "test_vpu.py::test_vpu_batch_minor_vs_oracle[576",
     "test_vpu.py::test_vpu_batch_minor_vs_oracle[512",
+    "test_vpu.py::test_vpu_batch_minor_vs_oracle[625",
+    "test_vpu.py::test_vpu_batch_minor_vs_oracle[320",
+    "test_vpu.py::test_vpu_batch_minor_vs_oracle[1000",
     "test_rfft.py::test_rfft_c128_dd",
     "test_ndim.py::test_numpy_compat_kwargs",
     "test_mxu.py::test_mxu_vs_oracle[pallas-4096",

@@ -47,6 +47,19 @@ def test_radix_schedule():
     assert radix_schedule(729) == [81, 9]
     assert radix_schedule(2187) == [81, 27]
     assert radix_schedule(6561) == [81, 81]
+
+    # pure 5^c: measured two-stage 125/25 winners; 125 itself deliberately
+    # stays on the direct-matmul path (fused (25,5) measured 330 GF vs 699)
+    assert radix_schedule(125) is None
+    assert radix_schedule(625) == [125, 5]
+    assert radix_schedule(3125) == [125, 25]
+    # 5-smooth sizes with 8 | n: greedy-large radix-5 blocks after the
+    # pow2/pow3 stages
+    assert radix_schedule(320) == [8, 8, 5]
+    assert radix_schedule(1000) == [8, 125]
+    assert radix_schedule(960) == [64, 3, 5]
+    assert radix_schedule(5000) == [8, 125, 5]
+    assert radix_schedule(14400) == [64, 9, 25]
     # 2^a*3^b with fewer than three 2s (and non-tabled pure powers) stay off
     # the VPU kernel (first stage must be a pow2 radix >= 8, or a tabled 3^b)
     for n in (1, 8, 16, 32, 100, 4095, 32768, 81, 12, 48, 19683):
@@ -62,7 +75,8 @@ def test_radix_schedule():
 
 
 @pytest.mark.parametrize(
-    "n", [64, 128, 256, 512, 1024, 4096, 96, 576, 1728, 243, 729, 2187]
+    "n", [64, 128, 256, 512, 1024, 4096, 96, 576, 1728, 243, 729, 2187,
+          625, 320, 1000]
 )
 def test_vpu_batch_minor_vs_oracle(n):
     rng = np.random.default_rng(RNG_SEED + n)
