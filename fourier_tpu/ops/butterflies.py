@@ -122,6 +122,46 @@ def _two_level(x: Sequence, R: int, S: int, forward: bool, ops) -> List:
     return out
 
 
+_C5_1 = math.cos(2.0 * math.pi / 5.0)
+_C5_2 = math.cos(4.0 * math.pi / 5.0)
+_S5_1 = math.sin(2.0 * math.pi / 5.0)
+_S5_2 = math.sin(4.0 * math.pi / 5.0)
+
+
+def butterfly5(x: Sequence, forward: bool, ops=cplx) -> List:
+    """Radix-5 via the sum/difference symmetry of W_5^k (real constants).
+
+    With t1 = x1+x4, t2 = x2+x3, t3 = x1-x4, t4 = x2-x3:
+      y0    = x0 + t1 + t2
+      y1/y4 = (x0 + c1*t1 + c2*t2) ± i*sign*(s1*t3 + s2*t4)
+      y2/y3 = (x0 + c2*t1 + c1*t2) ± i*sign*(s2*t3 - s1*t4)
+    (sign = -1 forward). Same trick as :func:`butterfly3`, one radix higher;
+    the reference has no radix-5 (``autosort/mod.rs:20-21`` stops at 2^a*3^b).
+    """
+    t1 = ops.add(x[1], x[4])
+    t2 = ops.add(x[2], x[3])
+    t3 = ops.sub(x[1], x[4])
+    t4 = ops.sub(x[2], x[3])
+    a = ops.add(x[0], ops.add(ops.scale(t1, _C5_1), ops.scale(t2, _C5_2)))
+    b = ops.add(x[0], ops.add(ops.scale(t1, _C5_2), ops.scale(t2, _C5_1)))
+    u = ops.add(ops.scale(t3, _S5_1), ops.scale(t4, _S5_2))
+    v = ops.sub(ops.scale(t3, _S5_2), ops.scale(t4, _S5_1))
+    iu = ops.rotate(u, not forward)  # i*sign*u (rotate(·, True) = +i)
+    iv = ops.rotate(v, not forward)
+    return [
+        ops.add(x[0], ops.add(t1, t2)),
+        ops.add(a, iu),
+        ops.add(b, iv),
+        ops.sub(b, iv),
+        ops.sub(a, iu),
+    ]
+
+
+def butterfly25(x: Sequence, forward: bool, ops=cplx) -> List:
+    """25-point DFT as 5x5 Cooley-Tukey (see _two_level)."""
+    return _two_level(x, 5, 5, forward, ops)
+
+
 def butterfly9(x: Sequence, forward: bool, ops=cplx) -> List:
     """9-point DFT as 3x3 Cooley-Tukey (see _two_level)."""
     return _two_level(x, 3, 3, forward, ops)
@@ -133,9 +173,11 @@ def butterfly27(x: Sequence, forward: bool, ops=cplx) -> List:
 
 
 BUTTERFLIES = {
-    2: butterfly2, 3: butterfly3, 4: butterfly4, 8: butterfly8,
+    2: butterfly2, 3: butterfly3, 4: butterfly4, 5: butterfly5,
+    8: butterfly8,
 }
 BUTTERFLIES[9] = butterfly9
+BUTTERFLIES[25] = butterfly25
 BUTTERFLIES[27] = butterfly27
 
 

@@ -210,9 +210,21 @@ _POW3_DD_SCHEDULES = {
     729: (27, 27),
 }
 
+# Pure 5^c twins (measured on-chip, round 3 second half, B=16384 chained
+# element-fetch sync): 625 (25,25) 38.3 GF beats the fused-Bluestein
+# default's 33.3; 125 (25,5) measured 33.9 vs 36.6 and is deliberately
+# ABSENT (stays on the fused dd Bluestein). radix-125 is rejected a priori
+# (125 dd values = 500 live f32 planes — worse than the rejected radix-81's
+# 324). Mixed 5-smooth sizes with an aligned pow2 first stage win big:
+# 1000 [8,25,5] 223 GF vs 39.9 for the DdSplitPow2 default.
+_POW5_DD_SCHEDULES = {
+    625: (25, 25),
+}
+
 
 def radix_schedule_dd(n: int) -> Optional[Sequence[int]]:
-    """Stage radices for the dd kernel: n = 2^a*3^b, 8 | n, 64 <= n <= 4096.
+    """Stage radices for the dd kernel: n = 2^a*3^b*5^c, 8 | n,
+    64 <= n <= 4096, plus the tabled pure 3^b / 5^c sizes.
 
     First stage radix-8 (keeps every later interleave stride 8-aligned),
     greedy 8s, one {4, 2} remainder, radix-3 stages last. No 64/9 fusions —
@@ -231,6 +243,10 @@ def radix_schedule_dd(n: int) -> Optional[Sequence[int]]:
     while pow2 % 3 == 0:
         pow2 //= 3
         threes += 1
+    fives = 0
+    while pow2 % 5 == 0:
+        pow2 //= 5
+        fives += 1
     if pow2 & (pow2 - 1):
         return None
     if pow2 < 8:
@@ -238,8 +254,11 @@ def radix_schedule_dd(n: int) -> Optional[Sequence[int]]:
         # XLA dd (round 3: 243 at 10.9 vs 32.1 GF — five misaligned
         # interleave passes), but TWO-stage in-register 9/27 schedules
         # (one interleave pass, like the c64 pow3 fix) win at 243/729; see
-        # _POW3_DD_SCHEDULES for the measured table.
-        if pow2 == 1 and n in _POW3_DD_SCHEDULES:
+        # _POW3_DD_SCHEDULES for the measured table. Pure 5^c: the
+        # two-stage radix-25 twins (_POW5_DD_SCHEDULES).
+        if pow2 == 1 and threes == 0 and n in _POW5_DD_SCHEDULES:
+            return list(_POW5_DD_SCHEDULES[n])
+        if pow2 == 1 and fives == 0 and n in _POW3_DD_SCHEDULES:
             return list(_POW3_DD_SCHEDULES[n])
         return None
     sched = []
@@ -250,6 +269,8 @@ def radix_schedule_dd(n: int) -> Optional[Sequence[int]]:
     if m > 1:
         sched.append(int(m))  # 4 or 2
     sched.extend([3] * threes)
+    sched.extend([25] * (fives // 2))
+    sched.extend([5] * (fives % 2))
     return sched
 
 

@@ -52,6 +52,18 @@ def test_schedule_products():
         assert all(r in (2, 3, 4, 8) for r in sched)
 
 
+def test_schedule_pow5():
+    # measured winners (round 3): 625 two-stage radix-25; mixed 5-smooth
+    # sizes take 25/5 stages after the aligned pow2/pow3 ones; 125 stays on
+    # the fused dd Bluestein (measured slower fused)
+    assert list(kern.radix_schedule_dd(625)) == [25, 25]
+    assert kern.radix_schedule_dd(125) is None
+    assert kern.radix_schedule_dd(3125) is None
+    assert list(kern.radix_schedule_dd(1000)) == [8, 25, 5]
+    assert list(kern.radix_schedule_dd(320)) == [8, 8, 5]
+    assert list(kern.radix_schedule_dd(960)) == [8, 8, 3, 5]
+
+
 @pytest.mark.parametrize("n", [32, 48, 81, 2187, 100, 6144, 8192, 16384, 12])
 def test_schedule_rejects(n):
     # <64, >4096 (VMEM: see radix_schedule_dd), pow2 part < 8 (except the
@@ -71,7 +83,8 @@ def test_schedule_pow3():
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.parametrize("n", [64, 96, 128, 243, 384, 512, 729, 1536])
+@pytest.mark.parametrize("n", [64, 96, 128, 243, 384, 512, 729, 1536,
+                               320, 625])
 @pytest.mark.parametrize("mode", [Transform.FFT, Transform.IFFT])
 def test_vpu_dd_vs_oracle(n, mode):
     rng = np.random.default_rng(RNG_SEED + n)
