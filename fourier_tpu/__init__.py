@@ -57,7 +57,8 @@ from fourier_tpu.rfft import (
     rfftn,
 )
 from fourier_tpu.fftlog import fht, fhtoffset, ifht
-from fourier_tpu.signal import (CztPlan, correlate, correlation_lags, czt,
+from fourier_tpu.signal import (ConvolvePlan, CztPlan, correlate,
+                                correlation_lags, czt,
                                 fftconvolve, hilbert, hilbert2,
                                 next_fast_len, oaconvolve, prev_fast_len,
                                 resample, zoom_fft)
@@ -179,6 +180,7 @@ __all__ = [
     "fft",
     "fft2",
     "dstn",
+    "ConvolvePlan",
     "fftconvolve",
     "fht",
     "fhtoffset",

@@ -169,35 +169,67 @@ def make_stage_tables(n: int, forward: bool):
 _C = np.float32(np.sqrt(2.0) / 2.0)
 
 
+def _b4(x0, x1, x2, x3, forward: bool):
+    """Planar radix-4 butterfly core, sign-inlined (no unary negation).
+
+    Mosaic has no XLA-style algebraic simplifier: a traced ``-x`` is a real
+    VPU issue, so the ±i rotation is folded into the final adds/subs as
+    component swaps with explicit signs (round-4 measured issue accounting).
+    """
+    a0 = (x0[0] + x2[0], x0[1] + x2[1])
+    a1 = (x0[0] - x2[0], x0[1] - x2[1])
+    a2 = (x1[0] + x3[0], x1[1] + x3[1])
+    dr, di = x1[0] - x3[0], x1[1] - x3[1]
+    if forward:  # y1 = a1 - i*d, y3 = a1 + i*d
+        y1 = (a1[0] + di, a1[1] - dr)
+        y3 = (a1[0] - di, a1[1] + dr)
+    else:
+        y1 = (a1[0] - di, a1[1] + dr)
+        y3 = (a1[0] + di, a1[1] - dr)
+    return [
+        (a0[0] + a2[0], a0[1] + a2[1]),
+        y1,
+        (a0[0] - a2[0], a0[1] - a2[1]),
+        y3,
+    ]
+
+
 def _butterfly8(parts, forward: bool):
-    """Planar radix-8 butterfly on a list of 8 (re, im) pairs (2D values)."""
+    """Planar radix-8 butterfly on a list of 8 (re, im) pairs (2D values).
 
-    def b4(x0, x1, x2, x3):
-        a0 = (x0[0] + x2[0], x0[1] + x2[1])
-        a1 = (x0[0] - x2[0], x0[1] - x2[1])
-        a2 = (x1[0] + x3[0], x1[1] + x3[1])
-        d = (x1[0] - x3[0], x1[1] - x3[1])
-        a3 = (-d[1], d[0]) if forward else (d[1], -d[0])  # ±i rotation
-        return [
-            (a0[0] + a2[0], a0[1] + a2[1]),
-            (a1[0] - a3[0], a1[1] - a3[1]),
-            (a0[0] - a2[0], a0[1] - a2[1]),
-            (a1[0] + a3[0], a1[1] + a3[1]),
-        ]
-
-    a = b4(parts[0], parts[2], parts[4], parts[6])
-    b = b4(parts[1], parts[3], parts[5], parts[7])
+    Sign-inlined form: the W_8^2 = ∓i rotation and the negative halves of the
+    W_8^{1,3} constant multiplies are folded into the output adds/subs, so no
+    unary negation of a traced value is ever emitted (each would be a full
+    vector-issue in Mosaic).
+    """
+    a = _b4(parts[0], parts[2], parts[4], parts[6], forward)
+    b = _b4(parts[1], parts[3], parts[5], parts[7], forward)
     c = _C
-    ti = -c if forward else c  # W_8^1 = c + i*ti
+    ti = -c if forward else c  # W_8^1 = c + i*ti (trace-time constant)
     b1 = (b[1][0] * c - b[1][1] * ti, b[1][0] * ti + b[1][1] * c)
-    b2 = (b[2][1], -b[2][0]) if forward else (-b[2][1], b[2][0])  # W_8^2 = ∓i
-    b3 = (-b[3][0] * c - b[3][1] * ti, b[3][0] * ti - b[3][1] * c)
-    bb = [b[0], b1, b2, b3]
-    out = []
-    for k in range(4):
-        out.append((a[k][0] + bb[k][0], a[k][1] + bb[k][1]))
-    for k in range(4):
-        out.append((a[k][0] - bb[k][0], a[k][1] - bb[k][1]))
+    out = [None] * 8
+    out[0] = (a[0][0] + b[0][0], a[0][1] + b[0][1])
+    out[4] = (a[0][0] - b[0][0], a[0][1] - b[0][1])
+    out[1] = (a[1][0] + b1[0], a[1][1] + b1[1])
+    out[5] = (a[1][0] - b1[0], a[1][1] - b1[1])
+    # W_8^2 = ∓i: bb2 = (±b2i, ∓b2r) — swap components, signs inlined.
+    b2r, b2i = b[2]
+    if forward:
+        out[2] = (a[2][0] + b2i, a[2][1] - b2r)
+        out[6] = (a[2][0] - b2i, a[2][1] + b2r)
+    else:
+        out[2] = (a[2][0] - b2i, a[2][1] + b2r)
+        out[6] = (a[2][0] + b2i, a[2][1] - b2r)
+    # W_8^3 = -c + i*ti: bb3 = (-(p) - b3i*ti, b3r*ti - q) with p = b3r*c,
+    # q = b3i*c; forward (ti=-c): bb3 = (q - p, -(p + q)) — inline the signs.
+    p = b[3][0] * c
+    q = b[3][1] * c
+    if forward:
+        out[3] = (a[3][0] + q - p, a[3][1] - p - q)
+        out[7] = (a[3][0] - q + p, a[3][1] + p + q)
+    else:
+        out[3] = (a[3][0] - p - q, a[3][1] + p - q)
+        out[7] = (a[3][0] + p + q, a[3][1] - p + q)
     return out
 
 
@@ -268,17 +300,7 @@ def _butterfly3(parts, forward: bool):
 
 
 def _butterfly4(parts, forward: bool):
-    a0 = (parts[0][0] + parts[2][0], parts[0][1] + parts[2][1])
-    a1 = (parts[0][0] - parts[2][0], parts[0][1] - parts[2][1])
-    a2 = (parts[1][0] + parts[3][0], parts[1][1] + parts[3][1])
-    d = (parts[1][0] - parts[3][0], parts[1][1] - parts[3][1])
-    a3 = (-d[1], d[0]) if forward else (d[1], -d[0])
-    return [
-        (a0[0] + a2[0], a0[1] + a2[1]),
-        (a1[0] - a3[0], a1[1] - a3[1]),
-        (a0[0] - a2[0], a0[1] - a2[1]),
-        (a1[0] + a3[0], a1[1] + a3[1]),
-    ]
+    return _b4(parts[0], parts[1], parts[2], parts[3], forward)
 
 
 _C51 = np.float32(np.cos(2.0 * np.pi / 5.0))
@@ -408,6 +430,14 @@ def _kernel(n, schedule, forward, scale, *refs):
     size = n
     stride = 1
     last = len(schedule) - 1
+    sc = None if scale is None else np.float32(scale)
+    # Scale folding: multiply the FIRST twiddle stage's table (a tiny
+    # (n/r, r) block, amortized over all CB lanes) and that stage's
+    # untwiddled outs[0] slab (1/r of the data) by the mode scale, instead
+    # of two full-array multiplies in the epilogue — saves ~2 VPU issues
+    # per point on scaled modes (round-4 issue accounting: the kernel is
+    # FMA-issue-bound and the epilogue muls have no adds to contract with).
+    fold_scale = sc is not None and ntw >= 1
     for s, r in enumerate(schedule):
         m = size // r
         # Gather: contiguous sublane slices (input viewed (r, m*stride, CB)).
@@ -420,6 +450,11 @@ def _kernel(n, schedule, forward, scale, *refs):
         if s < ntw:
             twre = tw_refs[2 * s][...]  # (blk, r), pre-expanded over stride
             twim = tw_refs[2 * s + 1][...]
+            if s == 0 and fold_scale:
+                twre = twre * sc
+                twim = twim * sc
+                orr, oii = outs[0]
+                outs[0] = (orr * sc, oii * sc)
             for k in range(1, r):
                 tr = twre[:, k].reshape(blk, 1)
                 ti_ = twim[:, k].reshape(blk, 1)
@@ -427,16 +462,16 @@ def _kernel(n, schedule, forward, scale, *refs):
                 outs[k] = (orr * tr - oii * ti_, orr * ti_ + oii * tr)
         if s == last:
             # Final stage: m == 1, so out k covers the contiguous row slab
-            # [k*stride, (k+1)*stride) — store each slab (with the mode's
-            # scale folded in) straight to the output refs, skipping the
-            # stack+reshape materialization and the full-array copy the
-            # generic epilogue would cost (one whole read+write of the
-            # block saved per call; safe under input/output aliasing
-            # because every input ref was read once up front).
-            sc = None if scale is None else np.float32(scale)
+            # [k*stride, (k+1)*stride) — store each slab straight to the
+            # output refs, skipping the stack+reshape materialization and
+            # the full-array copy the generic epilogue would cost (one
+            # whole read+write of the block saved per call; safe under
+            # input/output aliasing because every input ref was read once
+            # up front). The mode scale rides the first twiddle stage
+            # (fold_scale) when one exists, else it lands here.
             for k in range(r):
                 orr, oii = outs[k]
-                if sc is not None:
+                if sc is not None and not fold_scale:
                     orr = orr * sc
                     oii = oii * sc
                 ore_ref[k * stride:(k + 1) * stride] = orr
@@ -506,15 +541,16 @@ def _bluestein_kernel(n, m_inner, schedule, scale, *refs):
     wre, wim = wre * wt_r - wim * wt_i, wre * wt_i + wim * wt_r
     # inner inverse FFT (unscaled; 1/M lives in xo)
     wre, wim = _stages_value(wre, wim, m_inner, schedule, inv_tws, False)
-    # final chirp multiply (+ mode scale) on the first n rows
-    hre, him = wre[:n], wim[:n]
-    ore = hre * xo_r - him * xo_i
-    oim = hre * xo_i + him * xo_r
+    # final chirp multiply on the first n rows; the mode scale rides the
+    # (n, 1) chirp-out table (amortized over CB lanes) instead of two
+    # full-block multiplies.
     if scale is not None:
-        ore = ore * np.float32(scale)
-        oim = oim * np.float32(scale)
-    ore_ref[...] = ore
-    oim_ref[...] = oim
+        sc = np.float32(scale)
+        xo_r = xo_r * sc
+        xo_i = xo_i * sc
+    hre, him = wre[:n], wim[:n]
+    ore_ref[...] = hre * xo_r - him * xo_i
+    oim_ref[...] = hre * xo_i + him * xo_r
 
 
 def vpu_bluestein_batch_minor(

@@ -366,3 +366,154 @@ def test_correlate_complex_conjugation():
     lag = np.argmax(np.abs(np.asarray(correlate(sig, b.real))))
     from fourier_tpu.signal import correlation_lags
     assert correlation_lags(256, 32)[lag] == 100
+
+
+# -- ConvolvePlan (device-resident overlap-add) --------------------------------
+
+
+@pytest.mark.parametrize("mode", ["full", "same", "valid"])
+def test_convolve_plan_real(mode):
+    from fourier_tpu.signal import ConvolvePlan
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(4000).astype(np.float32)
+    h = rng.standard_normal(63).astype(np.float32)
+    plan = ConvolvePlan(h, mode=mode)
+    got = plan(x)
+    want = ss.fftconvolve(x.astype(np.float64), h.astype(np.float64), mode)
+    assert got.dtype == np.float32
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-4 * np.abs(want).max())
+
+
+def test_convolve_plan_complex_batched():
+    from fourier_tpu.signal import ConvolvePlan
+
+    rng = np.random.default_rng(8)
+    x = (rng.standard_normal((3, 2000)) + 1j * rng.standard_normal((3, 2000))
+         ).astype(np.complex64)
+    h = (rng.standard_normal(100) + 1j * rng.standard_normal(100)
+         ).astype(np.complex64)
+    plan = ConvolvePlan(h, mode="full")
+    got = plan(x)
+    want = np.stack([
+        ss.fftconvolve(x[i].astype(np.complex128), h.astype(np.complex128))
+        for i in range(3)
+    ])
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=0, atol=5e-4 * np.abs(want).max())
+
+
+def test_convolve_plan_jittable_zero_host():
+    """The planar path is traceable end-to-end: jit(conv) with the plan as a
+    pytree argument compiles and matches the eager result."""
+    import jax
+    import jax.numpy as jnp
+
+    from fourier_tpu.signal import ConvolvePlan
+
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal(1777).astype(np.float32)
+    h = rng.standard_normal(31).astype(np.float32)
+    plan = ConvolvePlan(h, mode="same")
+
+    @jax.jit
+    def conv(p, xr):
+        return p.convolve_planar(xr)
+
+    got = np.asarray(conv(plan, jnp.asarray(x)))
+    want = ss.fftconvolve(x.astype(np.float64), h.astype(np.float64), "same")
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-4 * np.abs(want).max())
+
+
+def test_convolve_plan_short_signal_and_edge_blocks():
+    from fourier_tpu.signal import ConvolvePlan
+
+    rng = np.random.default_rng(10)
+    h = rng.standard_normal(17).astype(np.float32)
+    plan = ConvolvePlan(h, mode="full")
+    for s1 in (17, plan.step, plan.step + 1, 3 * plan.step - 1):
+        x = rng.standard_normal(s1).astype(np.float32)
+        got = plan(x)
+        want = ss.fftconvolve(x.astype(np.float64), h.astype(np.float64))
+        np.testing.assert_allclose(
+            got, want, rtol=0, atol=3e-4 * np.abs(want).max()
+        )
+
+
+def test_convolve_plan_dd_c128():
+    """dd plan: spectral product + fold fully in dd; ~1e-14 accuracy."""
+    from fourier_tpu.signal import ConvolvePlan
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal(900)
+    h = rng.standard_normal(41)
+    plan = ConvolvePlan(h, mode="full", dtype=np.complex128)
+    got = plan(x)
+    want = ss.fftconvolve(x, h)
+    assert got.dtype == np.float64
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 1e-13, rel
+
+
+def test_convolve_plan_dd_complex_jit():
+    import jax
+    import jax.numpy as jnp
+
+    from fourier_tpu.precision import ddreal
+    from fourier_tpu.signal import ConvolvePlan
+
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal(500) + 1j * rng.standard_normal(500)
+    h = rng.standard_normal(29) + 1j * rng.standard_normal(29)
+    plan = ConvolvePlan(h, mode="same", dtype=np.complex128)
+
+    rh, rl = ddreal.from_f64(x.real)
+    ih, il = ddreal.from_f64(x.imag)
+
+    @jax.jit
+    def conv(p, rh, rl, ih, il):
+        return p.convolve_planar_dd(rh, rl, ih, il)
+
+    orh, orl, oih, oil = conv(plan, *[jnp.asarray(v) for v in (rh, rl, ih, il)])
+    got = (ddreal.to_f64((np.asarray(orh), np.asarray(orl)))
+           + 1j * ddreal.to_f64((np.asarray(oih), np.asarray(oil))))
+    want = ss.fftconvolve(x, h, "same")
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 1e-13, rel
+
+
+def test_convolve_plan_grad():
+    """Linear in the input: grad through the plan matches the adjoint."""
+    import jax
+    import jax.numpy as jnp
+
+    from fourier_tpu.signal import ConvolvePlan
+
+    rng = np.random.default_rng(13)
+    h = rng.standard_normal(9).astype(np.float32)
+    plan = ConvolvePlan(h, mode="full")
+    x = jnp.asarray(rng.standard_normal(200).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal(208).astype(np.float32))
+
+    loss = lambda xv: jnp.vdot(w, plan.convolve_planar(xv))
+    g = jax.grad(loss)(x)
+    # adjoint of conv-with-h is correlation with h
+    want = ss.correlate(np.asarray(w, np.float64), h.astype(np.float64),
+                        "valid")
+    np.testing.assert_allclose(np.asarray(g), want, rtol=0,
+                               atol=2e-4 * np.abs(want).max())
+
+
+def test_convolve_plan_validation():
+    from fourier_tpu.signal import ConvolvePlan
+
+    with pytest.raises(ValueError):
+        ConvolvePlan(np.ones((2, 2)))
+    with pytest.raises(ValueError):
+        ConvolvePlan(np.ones(8), mode="banana")
+    with pytest.raises(ValueError):
+        ConvolvePlan(np.ones(64), block=16)
+    plan = ConvolvePlan(np.ones(8), dtype=np.complex128)
+    with pytest.raises(TypeError):
+        plan.convolve_planar(np.zeros(32, np.float32))

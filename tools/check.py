@@ -9,6 +9,9 @@ Runs, in order, with a PASS/FAIL summary:
      roundtrip + plan-parity gates
   3. bench smoke        — plan + execute the headline config once (a dry-run
      of bench.py's path; full timing only makes sense on the TPU chip)
+  4. multichip dryrun   — the driver's own gate: `dryrun_multichip(8)` jits
+     the sharded plan families over a virtual 8-device CPU mesh and checks
+     them numerically (__graft_entry__.py)
 
 `--full` replaces the quick tier with the full suite (~50-60 min).
 Exit code 0 iff every step passed.
@@ -85,6 +88,11 @@ def main() -> int:
                       "--output-on-failure"]
     )
     results["bench smoke"] = bench_smoke()
+    results["multichip dryrun"] = run_step(
+        "multichip dryrun",
+        [sys.executable, "-u", str(REPO / "__graft_entry__.py")],
+        timeout=1800,
+    )
 
     print("\n==== summary ====")
     for name, ok in results.items():
