@@ -50,6 +50,30 @@ class VpuBluesteinPlan(FftPlan):
         self.interpret = bool(interpret)
         self.vmem_limit_bytes = vmem_limit_bytes
 
+    @staticmethod
+    def choose_inner(size: int, max_inner: int) -> Optional[int]:
+        """Smallest fused-schedule inner M >= 2n-1 with 8 | M.
+
+        Bluestein's inner FFT works at ANY size >= 2n-1 — the reference pins
+        next_power_of_two (bluesteins.rs:110) because that is its fast
+        family, but the fused kernel's fast family is 5-smooth with 8 | M,
+        which is denser: e.g. n=1418 gets M=2880 (2^6*3^2*5) instead of
+        4096 — measured on-chip 365 vs 309 GF (round 4). Pure 3^b/5^c
+        tabled sizes are excluded (their per-point rates are ~2-3x worse
+        than 8|M schedules, never worth the smaller M).
+        """
+        lo = 2 * size - 1
+        pow2 = next_power_of_two(lo)
+        if pow2 <= 64:
+            return pow2 if stockham_vpu.radix_schedule(pow2) else None
+        start = -(-lo // 8) * 8
+        for m in range(start, min(pow2, max_inner) + 1, 8):
+            if stockham_vpu.radix_schedule(m) is not None:
+                return m
+        return pow2 if (
+            pow2 <= max_inner and stockham_vpu.radix_schedule(pow2)
+        ) else None
+
     @classmethod
     def create(cls, size: int, dtype=np.complex64, *, cb: int = 128,
                interpret: Optional[bool] = None,
@@ -57,8 +81,8 @@ class VpuBluesteinPlan(FftPlan):
                ) -> Optional["VpuBluesteinPlan"]:
         if np.dtype(dtype) != np.dtype(np.complex64) or size < 2:
             return None
-        m = next_power_of_two(2 * size - 1)
-        if m > cls.MAX_INNER or stockham_vpu.radix_schedule(m) is None:
+        m = cls.choose_inner(size, cls.MAX_INNER)
+        if m is None:
             return None
         if interpret is None:
             interpret = jax.default_backend() != "tpu"

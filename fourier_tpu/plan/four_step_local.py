@@ -99,6 +99,55 @@ class FourStepLocalPlan(FftPlan):
             (jnp.asarray(ti[0]), jnp.asarray(ti[1])),
         )
 
+    def transform_planar_bm(self, re_t, im_t,
+                            transform: Transform = Transform.FFT):
+        """Batch-minor (n, B) four-step: one transpose total.
+
+        With x[a + p*b] on sublanes, the (n, B) planes reshape CONTIGUOUSLY
+        to (q, p*B) for the column FFTs (no transpose), the split twiddle
+        broadcasts as a (q, p, 1) table with the mode scale folded in (the
+        table is 1/B the data size), one (q,p,B) -> (p,q,B) transpose feeds
+        the row FFTs as (p, q*B), and the natural-order output
+        X[k1*q + k2] is again a contiguous reshape. The batch-major
+        ``_apply`` pays four transposes on the same data; this entry is the
+        native layout for the suite's large-n rows (VERDICT r3 item 6).
+        """
+        transform = Transform(transform)
+        if not (
+            hasattr(self.col_plan, "transform_planar_bm")
+            and hasattr(self.row_plan, "transform_planar_bm")
+        ):
+            ore, oim = self._apply(re_t.T, im_t.T, transform)
+            return ore.T, oim.T
+        re_t = jnp.asarray(re_t)
+        im_t = jnp.asarray(im_t)
+        if re_t.shape[0] != self.size:
+            raise ValueError(
+                f"leading axis {re_t.shape[0]} != plan size {self.size}"
+            )
+        b = re_t.shape[-1]
+        p, q = self.p, self.q
+        forward = transform.is_forward
+        mode = Transform.FFT if forward else Transform.UNSCALED_IFFT
+        re = re_t.reshape(q, p * b)
+        im = im_t.reshape(q, p * b)
+        re, im = self.col_plan.transform_planar_bm(re, im, mode)  # [k2,(a,B)]
+        twr, twi = self.tw_fwd if forward else self.tw_inv  # (p, q) [a, k2]
+        scale = self._scale_for(transform)
+        if scale is not None:
+            s = jnp.asarray(scale, dtype=twr.dtype)
+            twr = twr * s
+            twi = twi * s
+        twr_t = twr.T.reshape(q, p, 1)
+        twi_t = twi.T.reshape(q, p, 1)
+        re = re.reshape(q, p, b)
+        im = im.reshape(q, p, b)
+        re, im = re * twr_t - im * twi_t, re * twi_t + im * twr_t
+        re = jnp.swapaxes(re, 0, 1).reshape(p, q * b)  # the one transpose
+        im = jnp.swapaxes(im, 0, 1).reshape(p, q * b)
+        re, im = self.row_plan.transform_planar_bm(re, im, mode)  # [k1,(k2,B)]
+        return re.reshape(self.size, b), im.reshape(self.size, b)
+
     def _apply(self, re, im, transform: Transform):
         transform = Transform(transform)
         forward = transform.is_forward

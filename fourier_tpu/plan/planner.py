@@ -151,7 +151,8 @@ def _create_dd(size: int):
     from fourier_tpu.precision import DdFftPlan
 
     if jax.default_backend() == "tpu":
-        from fourier_tpu.precision.dd_split import DdSplitPow2Plan
+        from fourier_tpu.precision.dd_split import (DdSplitPow2Plan,
+                                                    DdSplitRadixPlan)
         from fourier_tpu.precision.vpu_dd_plan import VpuDdFftPlan
 
         plan = VpuDdFftPlan.create(size)
@@ -161,6 +162,13 @@ def _create_dd(size: int):
         # radix-2 DIT split over a batched fused half beats the XLA dd
         # Stockham — and 8192 is the Bluestein inner for n in (2048, 4096].
         plan = DdSplitPow2Plan.create(size)
+        if plan is not None:
+            return plan
+        # Odd-smooth sizes whose quotient by 3/5 is fused (2187 = 3*729,
+        # 3125 = 5*625): radix-3/5 DIT split — measured round 4 ~49/46 GF
+        # vs 29.0 for the best all-fused 3-stage schedule (2187) and 14.4
+        # for the Bluestein-over-split-8192 route (3125).
+        plan = DdSplitRadixPlan.create(size)
         if plan is not None:
             return plan
         # Split-less sizes whose Bluestein inner has a fused dd schedule

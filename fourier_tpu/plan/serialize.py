@@ -44,7 +44,8 @@ def _plan_registry():
     from fourier_tpu.precision.dd_bluestein import VpuDdBluesteinPlan
     from fourier_tpu.precision.dd_mxu import DdMxuDirectPlan
     from fourier_tpu.precision.dd_plan import DdFftPlan
-    from fourier_tpu.precision.dd_split import DdSplitPow2Plan
+    from fourier_tpu.precision.dd_split import (DdSplitPow2Plan,
+                                                DdSplitRadixPlan)
     from fourier_tpu.precision.vpu_dd_plan import VpuDdFftPlan
     from fourier_tpu.rfft import RfftPlan
 
@@ -59,6 +60,7 @@ def _plan_registry():
             VpuBluesteinPlan,
             DdFftPlan,
             DdSplitPow2Plan,
+            DdSplitRadixPlan,
             VpuDdBluesteinPlan,
             DdMxuDirectPlan,
             VpuDdFftPlan,

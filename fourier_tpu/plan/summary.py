@@ -213,6 +213,32 @@ def summarize(plan) -> PlanSummary:
             stages,
         )
 
+    try:
+        from fourier_tpu.precision.dd_split import (DdSplitPow2Plan,
+                                                    DdSplitRadixPlan)
+    except ImportError:  # pragma: no cover
+        DdSplitPow2Plan = DdSplitRadixPlan = ()
+
+    if DdSplitPow2Plan and isinstance(
+        plan, (DdSplitPow2Plan, DdSplitRadixPlan)
+    ):
+        r = getattr(plan, "radix", 2)
+        sub = summarize(plan.half if r == 2 else plan.sub)
+        # r batched sub-transforms + an O(n) dd combine: (r-1)/r of the
+        # points pay a dd complex twiddle (~50 hw flops) and all points a
+        # radix-r dd butterfly (~20*(r-1)/r adds each).
+        flops = r * sub.flops_per_transform + 50.0 * n * (r - 1) / r + 20.0 * n
+        stages = [
+            f"de-interleave {r} residue classes (reshape)",
+            f"batched fused dd FFT x{r} ({n // r}-point, ONE kernel call)",
+            f"dd twiddle + radix-{r} combine (O(n), XLA)",
+        ]
+        return PlanSummary(
+            f"DdSplitRadix{r}", n, "complex128(dd)", flops,
+            sub.table_bytes + (r - 1) * (n // r) * 16, 4 * n * 4 * 2,
+            stages, [sub],
+        )
+
     if DdFftPlan and isinstance(plan, DdFftPlan):
         io_dd = 4 * n * 4 * 2  # four f32 planes in + out
         if plan.kind == "stockham":

@@ -46,7 +46,24 @@ SIZE_FAMILIES = {
     "pow5": [125, 625, 3125],
     "composite": [222, 722, 1418],
     "prime": [191, 439, 1013],
+    # Above the fused kernel's VMEM cap: FourStepLocalPlan with fused legs
+    # (batch-minor native), matching the reference's size-unbounded planner
+    # contract (fourier/src/lib.rs:31-43). c64 only — dd at these sizes
+    # composes through the XLA dd path and would dominate suite wall-clock.
+    "large": [65536, 262144],
 }
+
+#: families measured at c64 only (see the `large` comment above).
+C64_ONLY_FAMILIES = {"large"}
+
+#: real-input rows (round-4 addition, VERDICT item 5): rfft+irfft ROUNDTRIP
+#: per row — the roundtrip is shape-preserving so iterations chain honestly,
+#: and it exercises both the forward split/pack and the inverse rebuild.
+#: 1024 = even split path (one c2c of n/2), 1013 = odd two-for-one packing
+#: (two real rows per c2c), 4096 = flagship even size. f32 real / c64
+#: spectra only: the dd twins share the identical pack/unpack structure and
+#: their cost is already pinned by the c128 complex rows.
+RFFT_SIZES = [1024, 1013, 4096]
 
 CHAIN = 128
 CHAIN_DD = 16  # dd transforms are ~10x the work; keep steps bounded
@@ -63,7 +80,8 @@ def default_batch(n: int, base: int = 65536) -> int:
     if n <= 1024:
         return base
     b = base * 1024 // n
-    return max(1024, 1 << int(np.log2(b)))
+    floor = 256 if n > 16384 else 1024  # large-n planes must also fit HBM
+    return max(floor, 1 << int(np.log2(max(b, 1))))
 
 
 def _sync(out):
@@ -173,6 +191,50 @@ def bench_fourier_tpu_dd(n: int, batch: int, forward: bool) -> float:
             jax.numpy.asarray(p) for p in (x.real, z, x.imag, z)
         )
     return _time_steps(step, planes, CHAIN_DD, ITERS)
+
+
+def bench_fourier_tpu_rfft(n: int, batch: int) -> float:
+    """Seconds per batched real-input ROUNDTRIP (rfft + irfft) on device."""
+    import jax
+
+    from fourier_tpu.rfft import RfftPlan
+
+    plan = RfftPlan(n, np.complex64)
+
+    @jax.jit
+    def step(x):
+        def body(carry, _):
+            re, im = plan.rfft_planar(carry)
+            return plan.irfft_planar(re, im), None
+
+        out, _ = jax.lax.scan(body, x, None, length=CHAIN)
+        return out
+
+    rng = np.random.default_rng(0)
+    x = jax.numpy.asarray(
+        rng.standard_normal((batch, n)).astype(np.float32)
+    )
+    return _time_steps(step, (x,), CHAIN, ITERS)
+
+
+def bench_host_rfft(module, n: int, batch: int) -> float:
+    """Host rfft+irfft roundtrip (numpy.fft or scipy.fft namespace)."""
+    nb = min(batch, _HOST_ROW_CAP)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((nb, n)).astype(np.float32)
+    fn = lambda a: module.irfft(module.rfft(a, axis=-1), n=n, axis=-1)
+    return _host_bench(fn, x) * (batch / nb)
+
+
+def accuracy_rel_l2_rfft(n: int) -> float:
+    """Roundtrip rel-L2 of rfft->irfft vs the input (the identity gate)."""
+    from fourier_tpu.rfft import RfftPlan
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((64, n)).astype(np.float32)
+    plan = RfftPlan(n, np.complex64)
+    got = np.asarray(plan.irfft(plan.rfft(x)))
+    return float(np.linalg.norm(got - x) / np.linalg.norm(x))
 
 
 def _host_bench(fn, x, iters: int = HOST_ITERS) -> float:
@@ -301,6 +363,8 @@ def run(
             sizes = sizes[:max_sizes]
         for n in sizes:
             for dkey in dtypes:
+                if family in C64_ONLY_FAMILIES and dkey != "c64":
+                    continue
                 dtype = np.complex64 if dkey == "c64" else np.complex128
                 b = batch or default_batch(n)
                 # c128 rows run the SAME batch as c64: dd is ~10x work/bytes
@@ -361,6 +425,50 @@ def run(
                         f"rel_l2={row.get('rel_l2', float('nan')):.2e}",
                         flush=True,
                     )
+    if not families or "rfft" in families:
+        import scipy.fft as _sfft
+
+        for n in RFFT_SIZES:
+            b = batch or default_batch(n)
+            # Roundtrip nominal flops: 2 directions x half the c2c count.
+            rt_gflops = lambda dt: round(
+                2 * 2.5 * n * np.log2(n) * b / dt / 1e9, 1
+            )
+            row = {
+                "family": "rfft",
+                "n": n,
+                "dtype": "f32/c64",
+                "direction": "roundtrip",
+                "batch": b,
+                "chain": CHAIN,
+            }
+            for name, fn in (
+                ("fourier_tpu", lambda: bench_fourier_tpu_rfft(n, b)),
+                ("numpy", lambda: bench_host_rfft(np.fft, n, b)),
+                ("scipy", lambda: bench_host_rfft(_sfft, n, b)),
+            ):
+                try:
+                    dt = fn()
+                    row[f"{name}_us"] = round(dt * 1e6, 1)
+                    row[f"{name}_gflops"] = rt_gflops(dt)
+                except Exception as e:  # pragma: no cover
+                    row[f"{name}_error"] = str(e)[:150]
+            try:
+                row["rel_l2"] = accuracy_rel_l2_rfft(n)
+            except Exception as e:  # pragma: no cover
+                row["rel_l2_error"] = str(e)[:150]
+            rows.append(row)
+            if json_path:
+                with open(json_path, "w") as f:
+                    json.dump(rows, f, indent=1)
+            print(
+                f"{'rfft':10s} n={n:5d} f32  rtrip "
+                f"tpu={row.get('fourier_tpu_gflops', '?'):>8} GF  "
+                f"numpy={row.get('numpy_gflops', '?'):>7} GF  "
+                f"scipy={row.get('scipy_gflops', '?'):>7} GF  "
+                f"rel_l2={row.get('rel_l2', float('nan')):.2e}",
+                flush=True,
+            )
     return rows
 
 

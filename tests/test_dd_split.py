@@ -1,7 +1,8 @@
-"""DdSplitPow2Plan: radix-2 DIT split over a fused dd half (8192/16384).
+"""DdSplit plans: radix-2 DIT over a fused dd half (8192/16384) and the
+radix-3/5 generalization (2187 = 3*729, 3125 = 5*625).
 
 The combine math is unit-tested against the numpy f64 oracle with XLA dd
-halves (fast on CPU); the fused-kernel half itself is covered by
+subs (fast on CPU); the fused-kernel sub itself is covered by
 test_vpu_dd.py. Serialization round-trip included — the split plan rides
 inside Bluestein inners for every c128 size in (2048, 4096].
 """
@@ -15,6 +16,8 @@ from fourier_tpu.precision import ddreal as dd
 from fourier_tpu.precision.dd_plan import DdFftPlan
 from fourier_tpu.precision.dd_split import (
     DdSplitPow2Plan,
+    DdSplitRadixPlan,
+    _radix_twiddle_tables,
     _twiddle_tables,
 )
 GATE = 1e-12
@@ -96,6 +99,53 @@ def test_eager_numpy_fallback():
     got = plan.fft(x)
     want = np.fft.fft(x)
     assert np.linalg.norm(got - want) / np.linalg.norm(want) < GATE
+
+
+# Radix-3/5 split (DdSplitRadixPlan): all five modes at 2187, two at 3125
+# (size-uniform combine; each XLA dd sub application costs ~10s on the
+# 1-core CI host).
+@pytest.mark.parametrize(
+    "n,r,mode",
+    [(2187, 3, m) for m in Transform]
+    + [(3125, 5, Transform.FFT), (3125, 5, Transform.SQRT_SCALED_IFFT)],
+)
+def test_split_radix_vs_oracle(n, r, mode):
+    rng = np.random.default_rng(RNG_SEED + n)
+    plan = DdSplitRadixPlan(
+        n, r, DdFftPlan(n // r), *_radix_twiddle_tables(n, r)
+    )
+    x = rng.standard_normal((2, n)) + 1j * rng.standard_normal((2, n))
+    pl = _to_planes(x)
+    got = _from_value(plan._apply_dd(((pl[0], pl[1]), (pl[2], pl[3])), mode))
+    want = fft_oracle(x, mode)
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < GATE, f"n={n} mode={mode.name} rel-L2={rel:.2e}"
+
+
+def test_split_radix_create_sizes():
+    # Needs a fused dd quotient: 2187/3 = 729 and 3125/5 = 625 are tabled.
+    for n, r in ((2187, 3), (3125, 5)):
+        plan = DdSplitRadixPlan.create(n)
+        assert plan is not None and plan.radix == r, n
+    assert DdSplitRadixPlan.create(2189) is None  # prime
+    assert DdSplitRadixPlan.create(1013) is None  # prime
+    assert DdSplitRadixPlan.create(6561) is None  # 6561/3 = 2187 not fused
+
+
+def test_split_radix_serialize_roundtrip(tmp_path):
+    from fourier_tpu.plan.serialize import load_plan, save_plan
+
+    plan = DdSplitRadixPlan(
+        2187, 3, DdFftPlan(729), *_radix_twiddle_tables(2187, 3)
+    )
+    path = tmp_path / "split3.ftp"
+    save_plan(plan, path)
+    loaded = load_plan(path)
+    assert isinstance(loaded, DdSplitRadixPlan)
+    assert loaded.size == 2187 and loaded.radix == 3
+    np.testing.assert_array_equal(
+        np.asarray(loaded.tw_fwd[0][0]), np.asarray(plan.tw_fwd[0][0])
+    )
 
 
 def test_serialize_roundtrip(tmp_path):

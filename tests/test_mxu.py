@@ -224,3 +224,33 @@ def test_direct_single_phase_policy():
     got = _run(ft.create_fft(439, backend="mxu", cache=False), x, Transform.FFT)
     want = np.fft.fft(x)
     assert np.linalg.norm(got - want) / np.linalg.norm(want) < 2e-6
+
+
+def test_four_step_local_batch_minor():
+    """transform_planar_bm: contiguous col reshape + one transpose matches
+    the batch-major path and the numpy oracle for every mode."""
+    import jax.numpy as jnp
+
+    from fourier_tpu.plan.four_step_local import FourStepLocalPlan
+    from fourier_tpu.plan.vpu import VpuFftPlan
+
+    n, p, q = 12288, 96, 128
+    plan = FourStepLocalPlan.create(
+        n, np.complex64, p, q,
+        lambda m, dt: VpuFftPlan.create(m, dt, interpret=True),
+    )
+    rng = np.random.default_rng(3)
+    x = (
+        rng.standard_normal((n, 4)) + 1j * rng.standard_normal((n, 4))
+    ).astype(np.complex64)
+    for mode, ref in (
+        (Transform.FFT, np.fft.fft(x, axis=0)),
+        (Transform.IFFT, np.fft.ifft(x, axis=0)),
+        (Transform.SQRT_SCALED_FFT, np.fft.fft(x, axis=0) / np.sqrt(n)),
+    ):
+        ore, oim = plan.transform_planar_bm(
+            jnp.asarray(x.real), jnp.asarray(x.imag), mode
+        )
+        got = np.asarray(ore) + 1j * np.asarray(oim)
+        rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+        assert rel < 5e-6, (mode, rel)
