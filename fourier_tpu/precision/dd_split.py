@@ -20,8 +20,9 @@ shared radix-3/5 butterfly over the dd complex vocabulary
 (``ops/butterflies.apply_butterfly(ops=ddcplx)``). Measured round 4: the
 all-fused 3-stage alternatives are worse or impossible (2187 (27,27,3)
 29.0 GF — misaligned interleaves; 3125 (25,25,5) OOMs VMEM on 112 MiB of
-register spills), while the split reaches ~49/46 GF vs 27.9/14.4 for the
-XLA-path rows it replaces. All five transform modes are supported: the
+register spills), while the split measures 34.4/31.8 GF at the suite
+config (batch 16384/21845, chain 16, sqrt-scaled) vs 27.9/14.4 for the
+XLA-path rows it replaces — see BENCH_SUITE_r5.json pow3/pow5 c128 rows. All five transform modes are supported: the
 sub-transforms run unscaled in the matching direction and the mode's scale
 rides the (r-1) twiddle tables and the untwiddled class (1/r of the data).
 
@@ -92,16 +93,25 @@ class DdSplitPow2Plan:
         self.tw_inv = tw_inv
         self._fallback_plan = None  # lazy eager-numpy twin
 
+    #: Max radix-2 split levels per chain. Two cover the target sizes
+    #: (16384 = 2*(2*4096)); deeper chains stack 3+ O(n) XLA dd combine
+    #: passes over ever-thinner fused sub-calls (e.g. 10000 would reach
+    #: fused-625 under FOUR combine levels) — shapes nobody has measured a
+    #: win for, and 5-smooth sizes like 10000 route better through the
+    #: single-combine DdSplitRadixPlan (sub 2000 is fused).
+    MAX_DEPTH = 2
+
     @classmethod
-    def create(cls, size: int) -> Optional["DdSplitPow2Plan"]:
+    def create(cls, size: int, *,
+               _depth: int = MAX_DEPTH) -> Optional["DdSplitPow2Plan"]:
         from fourier_tpu.precision.vpu_dd_plan import VpuDdFftPlan
 
-        if size % 2 or size > MAX_SPLIT_SIZE:
+        if size % 2 or size > MAX_SPLIT_SIZE or _depth < 1:
             return None
         m = size // 2
         # The planner tries the fused plan for `size` itself first; here we
         # only need a fast half (fused directly, or one more split level).
-        half = VpuDdFftPlan.create(m) or cls.create(m)
+        half = VpuDdFftPlan.create(m) or cls.create(m, _depth=_depth - 1)
         if half is None:
             return None
         fwd, inv = _twiddle_tables(m)

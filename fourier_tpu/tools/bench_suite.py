@@ -71,6 +71,16 @@ ITERS = 3
 HOST_ITERS = 5
 
 
+def _plan_repr(n: int, dtype) -> str:
+    """repr of the plan the row will execute (cached; audits the routing)."""
+    import fourier_tpu as ft
+
+    try:
+        return repr(ft.create_fft(n, dtype))
+    except Exception as e:  # pragma: no cover
+        return f"<plan error: {e}>"
+
+
 def _gflops(n: int, batch: int, seconds: float) -> float:
     return 5.0 * n * np.log2(max(n, 2)) * batch / seconds / 1e9
 
@@ -193,6 +203,16 @@ def bench_fourier_tpu_dd(n: int, batch: int, forward: bool) -> float:
     return _time_steps(step, planes, CHAIN_DD, ITERS)
 
 
+def _rfft_plan_repr(n: int) -> str:
+    from fourier_tpu.rfft import RfftPlan
+
+    try:
+        plan = RfftPlan(n, np.complex64)
+        return f"{plan!r} inner={plan.inner!r}"
+    except Exception as e:  # pragma: no cover
+        return f"<plan error: {e}>"
+
+
 def bench_fourier_tpu_rfft(n: int, batch: int) -> float:
     """Seconds per batched real-input ROUNDTRIP (rfft + irfft) on device."""
     import jax
@@ -208,7 +228,7 @@ def bench_fourier_tpu_rfft(n: int, batch: int) -> float:
             return plan.irfft_planar(re, im), None
 
         out, _ = jax.lax.scan(body, x, None, length=CHAIN)
-        return out
+        return (out,)  # tuple: _time_steps re-splats the carry into step(*cur)
 
     rng = np.random.default_rng(0)
     x = jax.numpy.asarray(
@@ -380,6 +400,7 @@ def run(
                         "direction": "fft" if forward else "ifft",
                         "batch": b,
                         "chain": CHAIN if dkey == "c64" else CHAIN_DD,
+                        "plan": _plan_repr(n, dtype),
                     }
                     ours = (
                         bench_fourier_tpu
@@ -441,6 +462,7 @@ def run(
                 "direction": "roundtrip",
                 "batch": b,
                 "chain": CHAIN,
+                "plan": _rfft_plan_repr(n),
             }
             for name, fn in (
                 ("fourier_tpu", lambda: bench_fourier_tpu_rfft(n, b)),

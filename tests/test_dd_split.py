@@ -89,7 +89,12 @@ def test_create_sizes():
         assert plan.size == n
     assert DdSplitPow2Plan.create(32768) is None  # above MAX_SPLIT_SIZE
     assert DdSplitPow2Plan.create(8191) is None  # odd
-    assert DdSplitPow2Plan.create(10000) is None  # half 5000 unreachable
+    # 10000 would need FOUR split levels to reach fused-625 (5000, 2500,
+    # 1250 all unfused) — past MAX_DEPTH. The single-combine radix-5 split
+    # covers it instead (sub 2000 carries a fused [8,2,25,5] schedule).
+    assert DdSplitPow2Plan.create(10000) is None
+    radix = DdSplitRadixPlan.create(10000)
+    assert radix is not None and radix.radix == 5 and radix.sub.size == 2000
 
 
 def test_eager_numpy_fallback():
