@@ -214,7 +214,12 @@ def _rfft_plan_repr(n: int) -> str:
 
 
 def bench_fourier_tpu_rfft(n: int, batch: int) -> float:
-    """Seconds per batched real-input ROUNDTRIP (rfft + irfft) on device."""
+    """Seconds per batched real-input ROUNDTRIP (rfft + irfft) on device.
+
+    Batch-minor (n, B) layout — the transpose-free native path
+    (``RfftPlan.rfft_planar_bm``); batch-major callers pay one transpose at
+    each pipeline boundary, not per transform.
+    """
     import jax
 
     from fourier_tpu.rfft import RfftPlan
@@ -224,15 +229,15 @@ def bench_fourier_tpu_rfft(n: int, batch: int) -> float:
     @jax.jit
     def step(x):
         def body(carry, _):
-            re, im = plan.rfft_planar(carry)
-            return plan.irfft_planar(re, im), None
+            re, im = plan.rfft_planar_bm(carry)
+            return plan.irfft_planar_bm(re, im), None
 
         out, _ = jax.lax.scan(body, x, None, length=CHAIN)
         return (out,)  # tuple: _time_steps re-splats the carry into step(*cur)
 
     rng = np.random.default_rng(0)
     x = jax.numpy.asarray(
-        rng.standard_normal((batch, n)).astype(np.float32)
+        rng.standard_normal((n, batch)).astype(np.float32)
     )
     return _time_steps(step, (x,), CHAIN, ITERS)
 

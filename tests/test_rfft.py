@@ -317,3 +317,76 @@ def test_hfftn_roundtrip_and_dtype_inference():
     # f64 input infers the complex128 path across the N-D real family too
     assert np.asarray(rfftn(x)).dtype == np.complex128
     assert np.asarray(rfft2(x.astype(np.float32))).dtype == np.complex64
+
+
+# -- batch-minor (n, B) path --------------------------------------------------
+
+
+@pytest.mark.parametrize("n", [4, 16, 64, 256, 1024])
+@pytest.mark.parametrize("b", [1, 3, 8])
+def test_rfft_bm_even_vs_numpy(n, b):
+    """Batch-minor even path matches numpy over (n, B) planes."""
+    rng = np.random.default_rng(RNG_SEED + n + b)
+    x = rng.standard_normal((b, n)).astype(np.float32)
+    plan = RfftPlan(n, np.complex64)
+    re, im = plan.rfft_planar_bm(x.T)
+    got = (np.asarray(re) + 1j * np.asarray(im)).T
+    want = np.fft.rfft(x, axis=-1)
+    assert got.shape == want.shape
+    assert np.linalg.norm(got - want) < 1e-5 * np.linalg.norm(want)
+    back = np.asarray(plan.irfft_planar_bm(re, im)).T
+    np.testing.assert_allclose(back, x, atol=1e-4)
+
+
+@pytest.mark.parametrize("n", [7, 15, 101, 1013])
+@pytest.mark.parametrize("b", [1, 2, 5, 8])
+def test_rfft_bm_odd_vs_numpy(n, b):
+    """Batch-minor odd two-for-one (incl. odd-batch remainder, batch 1)."""
+    rng = np.random.default_rng(RNG_SEED + n + b)
+    x = rng.standard_normal((b, n)).astype(np.float32)
+    plan = RfftPlan(n, np.complex64)
+    re, im = plan.rfft_planar_bm(x.T)
+    got = (np.asarray(re) + 1j * np.asarray(im)).T
+    want = np.fft.rfft(x, axis=-1)
+    assert got.shape == want.shape
+    assert np.linalg.norm(got - want) < 1e-5 * np.linalg.norm(want)
+    back = np.asarray(plan.irfft_planar_bm(re, im)).T
+    np.testing.assert_allclose(back, x, atol=1e-4)
+
+
+def test_rfft_bm_validation():
+    plan = RfftPlan(16, np.complex64)
+    with pytest.raises(ValueError):
+        plan.rfft_planar_bm(np.zeros((8, 4), np.float32))  # wrong n
+    with pytest.raises(ValueError):
+        plan.rfft_planar_bm(np.zeros(16, np.float32))  # not 2-D
+    with pytest.raises(ValueError):
+        plan.irfft_planar_bm(
+            np.zeros((16, 4), np.float32), np.zeros((16, 4), np.float32)
+        )  # spectrum axis must be n//2+1
+    dd_plan = RfftPlan(16, np.complex128)
+    if dd_plan.dd:
+        with pytest.raises(TypeError):
+            dd_plan.rfft_planar_bm(np.zeros((16, 4), np.float32))
+
+
+def test_rfft_bm_jit_chain():
+    """The bm roundtrip chains under jit/scan (the bench harness shape)."""
+    import jax
+
+    n, b = 64, 4
+    plan = RfftPlan(n, np.complex64)
+    rng = np.random.default_rng(RNG_SEED)
+    x = rng.standard_normal((n, b)).astype(np.float32)
+
+    @jax.jit
+    def step(x):
+        def body(carry, _):
+            re, im = plan.rfft_planar_bm(carry)
+            return plan.irfft_planar_bm(re, im), None
+
+        out, _ = jax.lax.scan(body, x, None, length=3)
+        return out
+
+    out = np.asarray(step(x))
+    np.testing.assert_allclose(out, x, atol=1e-4)
