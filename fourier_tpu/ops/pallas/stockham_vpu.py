@@ -497,6 +497,293 @@ def _kernel(n, schedule, forward, scale, *refs):
         stride *= r
 
 
+def _rev_rows(x, m: int):
+    """Full reverse of the leading m (= 2^k) sublane rows.
+
+    Mosaic has no ``lax.rev`` lowering (measured: NotImplementedError on this
+    backend); a reverse is the product of per-bit half-swaps — log2(m)
+    slice+concat stages over reshaped views, all ops the TC lowering has.
+    """
+    assert m & (m - 1) == 0, m
+    cb = x.shape[-1]
+    blk = 2
+    while blk <= m:
+        h = blk // 2
+        y = x.reshape(m // blk, blk, cb)
+        x = jnp.concatenate([y[:, h:], y[:, :h]], axis=1).reshape(m, cb)
+        blk *= 2
+    return x
+
+
+def _rfft_pack_kernel(m, schedule, *refs):
+    """Fused even-n rfft: FFT_m of (x_even + i*x_odd) + Hermitian pack.
+
+    The pack (conj-mirror + half-spectrum twiddle, ``rfft.py:311-331``) runs
+    entirely in VMEM — the XLA formulation costs ~5.2 ms per application at
+    (512, 65536) because the sublane reverse never fuses (measured round 5),
+    ~2.5x the whole inner FFT pair.
+    """
+    ntw = len(schedule) - 1
+    tw_refs = refs[:2 * ntw]
+    wre_ref, wim_ref, x_ref, or_ref, oi_ref = refs[2 * ntw:]
+    x = x_ref[...]  # (m, 2, CB): [:, 0] = x_even, [:, 1] = x_odd
+    re = x[:, 0, :]
+    im = x[:, 1, :]
+    tws = [(tw_refs[2 * s][...], tw_refs[2 * s + 1][...]) for s in range(ntw)]
+    zr, zi = _stages_value(re, im, m, tuple(schedule), tws, True)
+    # conj-mirror c[k] = conj(z[(m-k) mod m]): full reverse + roll-down-1.
+    rr = _rev_rows(zr, m)
+    ri = _rev_rows(zi, m)
+    cr = jnp.concatenate([rr[-1:], rr[:-1]], axis=0)
+    ci = -jnp.concatenate([ri[-1:], ri[:-1]], axis=0)
+    er = 0.5 * (zr + cr)
+    ei = 0.5 * (zi + ci)
+    o_r = 0.5 * (zi - ci)
+    o_i = -0.5 * (zr - cr)
+    wre = wre_ref[...]  # (m, 1): exp(-2*pi*i*k/n)
+    wim = wim_ref[...]
+    or_ref[:m] = er + wre * o_r - wim * o_i
+    oi_ref[:m] = ei + wre * o_i + wim * o_r
+    # Nyquist row X[m] = E[0] - O[0]
+    or_ref[m:m + 1] = er[:1] - o_r[:1]
+    oi_ref[m:m + 1] = ei[:1] - o_i[:1]
+
+
+def _irfft_unpack_kernel(m, schedule, *refs):
+    """Fused even-n irfft: Hermitian unpack + IFFT_m, emitting (m, 2, CB)
+    even/odd rows (``rfft.py:333-354`` math; 1/m folded into the unpack's
+    0.5 constants so the inverse stages run unscaled)."""
+    ntw = len(schedule) - 1
+    tw_refs = refs[:2 * ntw]
+    wre_ref, wim_ref, xr_ref, xi_ref, out_ref = refs[2 * ntw:]
+    re = xr_ref[...]  # (m+1, CB) one-sided spectrum planes
+    im = xi_ref[...]
+    zero = jnp.zeros_like(im[:1])
+    head_r = re[:m]
+    head_i = jnp.concatenate([zero, im[1:m]], axis=0)  # DC imag is 0
+    # c[k] = conj(X[m-k]), k = 0..m-1: reverse rows 1..m (Nyquist imag is 0).
+    cr = _rev_rows(re[1:m + 1], m)
+    ci = -_rev_rows(jnp.concatenate([im[1:m], zero], axis=0), m)
+    h = np.float32(0.5 / m)  # unpack half + the inverse 1/m normalization
+    er = h * (head_r + cr)
+    ei = h * (head_i + ci)
+    wor = h * (head_r - cr)
+    woi = h * (head_i - ci)
+    wre = wre_ref[...]
+    wim = wim_ref[...]
+    o_r = wre * wor + wim * woi  # conj(W^k) * WO
+    o_i = wre * woi - wim * wor
+    zr = er - o_i
+    zi = ei + o_r
+    tws = [(tw_refs[2 * s][...], tw_refs[2 * s + 1][...]) for s in range(ntw)]
+    zr, zi = _stages_value(zr, zi, m, tuple(schedule), tws, False)
+    out_ref[:, 0, :] = zr
+    out_ref[:, 1, :] = zi
+
+
+def vpu_rfft_pack_batch_minor(
+    x3,
+    m: int,
+    tables,
+    w,
+    *,
+    cb: int = 128,
+    interpret: bool = False,
+    vmem_limit_bytes: Optional[int] = None,
+):
+    """Even-n rfft: (m, 2, B) de-interleaved real input (a pure reshape of
+    the (n, B) signal) -> one-sided (m+1, B) spectrum planes.
+
+    `tables`: forward stage tables for m; `w`: planar (m, 1) half-spectrum
+    twiddles exp(-2*pi*i*k/n). B % cb == 0 (callers pad).
+    """
+    schedule = radix_schedule(m)
+    assert schedule is not None, m
+    b = x3.shape[-1]
+    assert x3.shape[:2] == (m, 2) and b % cb == 0, (x3.shape, cb)
+    grid = (b // cb,)
+    in_spec = pl.BlockSpec((m, 2, cb), lambda i: (0, 0, i), memory_space=_VMEM)
+    out_spec = pl.BlockSpec((m + 1, cb), lambda i: (0, i), memory_space=_VMEM)
+    w_spec = pl.BlockSpec((m, 1), lambda i: (0, 0), memory_space=_VMEM)
+    const_specs = []
+    const_args = []
+    for tre, tim in tables:
+        shp = tre.shape
+        const_specs += [
+            pl.BlockSpec(shp, lambda i: (0, 0), memory_space=_VMEM)
+        ] * 2
+        const_args += [jnp.asarray(tre), jnp.asarray(tim)]
+    out_shape = [jax.ShapeDtypeStruct((m + 1, b), jnp.float32)] * 2
+    kern = functools.partial(_rfft_pack_kernel, m, tuple(schedule))
+    flops = int((5 * m * np.log2(m) + 16 * m) * b)
+    kw = {}
+    if vmem_limit_bytes and pltpu is not None and not interpret:
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit_bytes)
+        )
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=const_specs + [w_spec, w_spec, in_spec],
+        out_specs=[out_spec, out_spec],
+        out_shape=out_shape,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=3 * m * b * 4, transcendentals=0
+        ),
+        **kw,
+    )(*const_args, w[0], w[1], x3)
+
+
+def vpu_irfft_unpack_batch_minor(
+    xr,
+    xi,
+    m: int,
+    tables,
+    w,
+    *,
+    cb: int = 128,
+    interpret: bool = False,
+    vmem_limit_bytes: Optional[int] = None,
+):
+    """Even-n irfft: one-sided (m+1, B) spectrum planes -> (m, 2, B)
+    even/odd real rows (reshape to (n, B) is free).
+
+    `tables`: INVERSE stage tables for m; `w`: planar (m, 1)
+    exp(-2*pi*i*k/n) (the kernel conjugates). B % cb == 0.
+    """
+    schedule = radix_schedule(m)
+    assert schedule is not None, m
+    b = xr.shape[-1]
+    assert xr.shape[0] == m + 1 and b % cb == 0, (xr.shape, m, cb)
+    grid = (b // cb,)
+    in_spec = pl.BlockSpec((m + 1, cb), lambda i: (0, i), memory_space=_VMEM)
+    out_spec = pl.BlockSpec((m, 2, cb), lambda i: (0, 0, i), memory_space=_VMEM)
+    w_spec = pl.BlockSpec((m, 1), lambda i: (0, 0), memory_space=_VMEM)
+    const_specs = []
+    const_args = []
+    for tre, tim in tables:
+        shp = tre.shape
+        const_specs += [
+            pl.BlockSpec(shp, lambda i: (0, 0), memory_space=_VMEM)
+        ] * 2
+        const_args += [jnp.asarray(tre), jnp.asarray(tim)]
+    out_shape = [jax.ShapeDtypeStruct((m, 2, b), jnp.float32)]
+    kern = functools.partial(_irfft_unpack_kernel, m, tuple(schedule))
+    flops = int((5 * m * np.log2(m) + 16 * m) * b)
+    kw = {}
+    if vmem_limit_bytes and pltpu is not None and not interpret:
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit_bytes)
+        )
+    (out,) = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=const_specs + [w_spec, w_spec, in_spec, in_spec],
+        out_specs=[out_spec],
+        out_shape=out_shape,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=3 * m * b * 4, transcendentals=0
+        ),
+        **kw,
+    )(*const_args, w[0], w[1], xr, xi)
+    return out
+
+
+def _four_step_row_kernel(p, schedule, forward, *refs):
+    """Row leg of the single-chip four-step (``plan/four_step_local.py``).
+
+    Grid = (q, B/CB). Per step: one (p, CB) slice of the column-FFT
+    intermediate [k2, a, b] (read through a (1, p, CB) block of the 3-D
+    view — tile-aligned), pre-multiplied by this k2's split-twiddle column
+    W_n^(a*k2) (mode scale folded in by the caller), then the standard
+    all-stages-fused Stockham over p. The store is the transpose: the
+    output is the 2-D (p, q*B) array whose reshape to (n, B) IS natural
+    order X[k1*q + k2], written as tile-aligned (p, CB) blocks at lane
+    block k2*(B/CB) + i. Replaces two full XLA passes (dense split twiddle
+    + (q,p,B)->(p,q,B) transpose) with zero extra HBM traffic.
+    """
+    ntw = len(schedule) - 1
+    tw_refs = refs[:2 * ntw]
+    pre_re, pre_im, xre_ref, xim_ref, ore_ref, oim_ref = refs[2 * ntw:]
+    re = xre_ref[0]  # (p, CB)
+    im = xim_ref[0]
+    tr = pre_re[...]  # (p, 1): this k2's split-twiddle column
+    ti = pre_im[...]
+    re, im = re * tr - im * ti, re * ti + im * tr
+    tws = [(tw_refs[2 * s][...], tw_refs[2 * s + 1][...]) for s in range(ntw)]
+    ore_ref[...], oim_ref[...] = _stages_value(
+        re, im, p, tuple(schedule), tws, forward
+    )
+
+
+def vpu_fft_four_step_row(
+    re3,
+    im3,
+    p: int,
+    q: int,
+    tables,
+    pre_tw,
+    forward: bool,
+    *,
+    cb: int = 128,
+    interpret: bool = False,
+    vmem_limit_bytes: Optional[int] = None,
+):
+    """Fused four-step row leg: (q, p, B) planes -> (n, B) natural order.
+
+    `pre_tw`: planar (p, q) split twiddle W_n^(±a*k2), direction-matched,
+    with the transform mode's scale already folded in (it multiplies every
+    point exactly once). `tables`: stage tables for p. B % cb == 0.
+    """
+    schedule = radix_schedule(p)
+    assert schedule is not None, p
+    assert re3.shape[:2] == (q, p), (re3.shape, q, p)
+    b = re3.shape[-1]
+    assert b % cb == 0, (b, cb)
+    nlb = b // cb
+    grid = (q, nlb)
+    in_spec = pl.BlockSpec(
+        (1, p, cb), lambda j, i: (j, 0, i), memory_space=_VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (p, cb), lambda j, i: (0, j * nlb + i), memory_space=_VMEM
+    )
+    pre_spec = pl.BlockSpec((p, 1), lambda j, i: (0, j), memory_space=_VMEM)
+    const_specs = []
+    const_args = []
+    for tre, tim in tables:
+        shp = tre.shape
+        const_specs += [
+            pl.BlockSpec(shp, lambda j, i: (0, 0), memory_space=_VMEM)
+        ] * 2
+        const_args += [jnp.asarray(tre), jnp.asarray(tim)]
+    out_shape = [jax.ShapeDtypeStruct((p, q * b), jnp.float32)] * 2
+    kern = functools.partial(
+        _four_step_row_kernel, p, tuple(schedule), forward
+    )
+    flops = int((5 * p * np.log2(p) + 6 * p) * q * b)
+    kw = {}
+    if vmem_limit_bytes and pltpu is not None and not interpret:
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit_bytes)
+        )
+    ore, oim = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=const_specs + [pre_spec, pre_spec, in_spec, in_spec],
+        out_specs=[out_spec, out_spec],
+        out_shape=out_shape,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=2 * p * q * b * 8, transcendentals=0
+        ),
+        **kw,
+    )(*const_args, pre_tw[0], pre_tw[1], re3, im3)
+    return ore.reshape(p * q, b), oim.reshape(p * q, b)
+
+
 def _bluestein_kernel(n, m_inner, schedule, scale, *refs):
     """Fully-fused Bluestein chirp-z over a (n, CB) block.
 

@@ -129,15 +129,44 @@ class FourStepLocalPlan(FftPlan):
         p, q = self.p, self.q
         forward = transform.is_forward
         mode = Transform.FFT if forward else Transform.UNSCALED_IFFT
-        re = re_t.reshape(q, p * b)
-        im = im_t.reshape(q, p * b)
-        re, im = self.col_plan.transform_planar_bm(re, im, mode)  # [k2,(a,B)]
         twr, twi = self.tw_fwd if forward else self.tw_inv  # (p, q) [a, k2]
         scale = self._scale_for(transform)
         if scale is not None:
             s = jnp.asarray(scale, dtype=twr.dtype)
             twr = twr * s
             twi = twi * s
+
+        row_fused = self._row_fused_cfg()
+        if row_fused is not None:
+            # Fully fused path: the row kernel absorbs BOTH glue passes —
+            # the dense split twiddle rides its entry multiply and the
+            # (q,p,B)->(p,q,B) transpose happens in its grid indexing (a
+            # tile-aligned (1,p,CB) read / (p,CB) natural-order store).
+            from fourier_tpu.ops.pallas import stockham_vpu as _sv
+
+            cb, interpret, vmem = row_fused
+            bp = -(-b // cb) * cb
+            if bp != b:
+                pad = [(0, 0), (0, bp - b)]
+                re_t = jnp.pad(re_t, pad)
+                im_t = jnp.pad(im_t, pad)
+            re = re_t.reshape(q, p * bp)
+            im = im_t.reshape(q, p * bp)
+            re, im = self.col_plan.transform_planar_bm(re, im, mode)
+            tables = (
+                self.row_plan.fwd_tables if forward
+                else self.row_plan.inv_tables
+            )
+            ore, oim = _sv.vpu_fft_four_step_row(
+                re.reshape(q, p, bp), im.reshape(q, p, bp), p, q,
+                tables, (twr, twi), forward,
+                cb=cb, interpret=interpret, vmem_limit_bytes=vmem,
+            )
+            return ore[:, :b], oim[:, :b]
+
+        re = re_t.reshape(q, p * b)
+        im = im_t.reshape(q, p * b)
+        re, im = self.col_plan.transform_planar_bm(re, im, mode)  # [k2,(a,B)]
         twr_t = twr.T.reshape(q, p, 1)
         twi_t = twi.T.reshape(q, p, 1)
         re = re.reshape(q, p, b)
@@ -147,6 +176,21 @@ class FourStepLocalPlan(FftPlan):
         im = jnp.swapaxes(im, 0, 1).reshape(p, q * b)
         re, im = self.row_plan.transform_planar_bm(re, im, mode)  # [k1,(k2,B)]
         return re.reshape(self.size, b), im.reshape(self.size, b)
+
+    def _row_fused_cfg(self):
+        """(cb, interpret, vmem_limit) when the row leg can run the fused
+        four-step kernel: c64 with a VpuFftPlan row sub-plan (its stage
+        tables and schedule are exactly what the kernel consumes)."""
+        rp = self.row_plan
+        if self.dtype != np.dtype(np.complex64):
+            return None
+        if not hasattr(rp, "fwd_tables") or not hasattr(rp, "cb"):
+            return None
+        from fourier_tpu.ops.pallas.stockham_vpu import radix_schedule
+
+        if radix_schedule(self.p) is None:
+            return None
+        return rp.cb, rp.interpret, rp.vmem_limit_bytes
 
     def _apply(self, re, im, transform: Transform):
         transform = Transform(transform)

@@ -36,10 +36,9 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
-from fourier_tpu.ops.stockham_jax import xp_for
-from fourier_tpu.precision import ddcplx
 from fourier_tpu.transform import Transform
 
 #: Largest size the recursive split covers. Above this the extra O(n) combine
@@ -125,39 +124,20 @@ class DdSplitPow2Plan:
         (rh, rl), (ih, il) = value
         if isinstance(rh, np.ndarray):
             return self._fallback()._apply_dd(value, transform)
-        forward = transform.is_forward
-        scale = transform.scale(self.size)
-        m = self.size // 2
-        xp = xp_for(rh)
+        return _apply_dd_via_bm(self, value, transform)
 
-        # De-interleave even/odd into a fresh leading-of-last batch axis:
-        # (..., 2m) -> (..., 2, m) with [..., 0, :] = x[0::2].
-        planes = [
-            xp.moveaxis(p.reshape(*p.shape[:-1], m, 2), -1, -2)
-            for p in (rh, rl, ih, il)
-        ]
-        sub = ((planes[0], planes[1]), (planes[2], planes[3]))
-        sub_mode = Transform.FFT if forward else Transform.UNSCALED_IFFT
-        (srh, srl), (sih, sil) = self.half._apply_dd(sub, sub_mode)
+    def transform_planar_dd_bm(self, rh, rl, ih, il,
+                               transform: Transform = Transform.FFT):
+        """Batch-minor (n, B) dd planes, transpose-free end-to-end.
 
-        tw4 = self.tw_fwd if forward else self.tw_inv
-        twd = (
-            (xp.asarray(tw4[0]), xp.asarray(tw4[1])),
-            (xp.asarray(tw4[2]), xp.asarray(tw4[3])),
-        )
-        pick = lambda p, i: p[..., i, :]
-        ev = ((pick(srh, 0), pick(srl, 0)), (pick(sih, 0), pick(sil, 0)))
-        od = ((pick(srh, 1), pick(srl, 1)), (pick(sih, 1), pick(sil, 1)))
-        t = ddcplx.mul(od, twd)
-        lo = ddcplx.add(ev, t)
-        hi = ddcplx.sub(ev, t)
-        if scale is not None:
-            lo = ddcplx.scale(lo, scale)
-            hi = ddcplx.scale(hi, scale)
-        cat = lambda a, b: xp.concatenate([a, b], axis=-1)
-        return (
-            (cat(lo[0][0], hi[0][0]), cat(lo[0][1], hi[0][1])),
-            (cat(lo[1][0], hi[1][0]), cat(lo[1][1], hi[1][1])),
+        The class de-interleave is a pure reshape in this layout —
+        (n, B) row k = i*2 + t IS (m, 2*B) lane t*B + b — so the batched
+        fused sub-call and the Pallas combine kernel
+        (:mod:`fourier_tpu.ops.pallas.dd_combine`) see their native layout
+        with zero data movement between them.
+        """
+        return _split_bm(
+            self, 2, self.half, (rh, rl, ih, il), Transform(transform)
         )
 
     # -- DdFftPlan-compatible conveniences ------------------------------------
@@ -245,55 +225,21 @@ class DdSplitRadixPlan:
 
     def _apply_dd(self, value, transform: Transform):
         """((rh, rl), (ih, il)) with (..., n) planes — DdFftPlan interface."""
-        from fourier_tpu.ops.butterflies import apply_butterfly
-
         transform = Transform(transform)
         (rh, rl), (ih, il) = value
         if isinstance(rh, np.ndarray):
             return self._fallback()._apply_dd(value, transform)
-        forward = transform.is_forward
-        scale = transform.scale(self.size)
-        r = self.radix
-        m = self.size // r
-        xp = xp_for(rh)
+        return _apply_dd_via_bm(self, value, transform)
 
-        # De-interleave the r residue classes into a fresh batch axis:
-        # (..., r*m) -> (..., r, m) with [..., t, :] = x[t::r].
-        planes = [
-            xp.moveaxis(p.reshape(*p.shape[:-1], m, r), -1, -2)
-            for p in (rh, rl, ih, il)
-        ]
-        sub_val = ((planes[0], planes[1]), (planes[2], planes[3]))
-        sub_mode = Transform.FFT if forward else Transform.UNSCALED_IFFT
-        (srh, srl), (sih, sil) = self.sub._apply_dd(sub_val, sub_mode)
+    def transform_planar_dd_bm(self, rh, rl, ih, il,
+                               transform: Transform = Transform.FFT):
+        """Batch-minor (n, B) dd planes, transpose-free end-to-end.
 
-        pick = lambda p, t: p[..., t, :]
-        parts = [
-            ((pick(srh, t), pick(srl, t)), (pick(sih, t), pick(sil, t)))
-            for t in range(r)
-        ]
-        # Twiddle classes 1..r-1; the mode scale rides the (m,)-sized tables
-        # and the untwiddled class 0 (1/r of the data) instead of all r
-        # output sections.
-        tws = self.tw_fwd if forward else self.tw_inv
-        for t in range(1, r):
-            t4 = tws[t - 1]
-            twd = (
-                (xp.asarray(t4[0]), xp.asarray(t4[1])),
-                (xp.asarray(t4[2]), xp.asarray(t4[3])),
-            )
-            if scale is not None:
-                twd = ddcplx.scale(twd, scale)
-            parts[t] = ddcplx.mul(parts[t], twd)
-        if scale is not None:
-            parts[0] = ddcplx.scale(parts[0], scale)
-        outs = apply_butterfly(r, parts, forward, ops=ddcplx)
-
-        # outs[j] is the contiguous output section X[j*m:(j+1)*m].
-        cat = lambda sel: xp.concatenate([sel(o) for o in outs], axis=-1)
-        return (
-            (cat(lambda o: o[0][0]), cat(lambda o: o[0][1])),
-            (cat(lambda o: o[1][0]), cat(lambda o: o[1][1])),
+        Same layout contract as :meth:`DdSplitPow2Plan.transform_planar_dd_bm`
+        with r = self.radix residue classes.
+        """
+        return _split_bm(
+            self, self.radix, self.sub, (rh, rl, ih, il), Transform(transform)
         )
 
     # -- DdFftPlan-compatible conveniences ------------------------------------
@@ -339,3 +285,81 @@ class DdSplitRadixPlan:
     def tree_unflatten(cls, aux, children):
         sub, tw_fwd, tw_inv = children
         return cls(aux[0], aux[1], sub, tw_fwd, tw_inv)
+
+
+# -- batch-minor execution (shared by both split plans) ------------------------
+
+
+def _exec_cfg(plan):
+    """(cb, interpret, vmem_limit) of the innermost fused sub-plan.
+
+    Test configurations substitute XLA ``DdFftPlan`` subs (no Pallas config);
+    they get the interpret-mode defaults — exactly the sanitizer regime those
+    tests run the combine kernel in.
+    """
+    sub = plan
+    while sub is not None and not hasattr(sub, "cb"):
+        sub = getattr(sub, "half", None) or getattr(sub, "sub", None)
+    if sub is None:
+        return 128, jax.default_backend() != "tpu", None
+    return sub.cb, sub.interpret, sub.vmem_limit_bytes
+
+
+def _sub_bm(sub, planes, mode):
+    """Run the sub-plan on batch-minor (m, RB) planes."""
+    if hasattr(sub, "transform_planar_dd_bm"):
+        return sub.transform_planar_dd_bm(*planes, mode)
+    # XLA dd sub (test configurations): batch-major adapter.
+    value = ((planes[0].T, planes[1].T), (planes[2].T, planes[3].T))
+    (rh, rl), (ih, il) = sub._apply_dd(value, mode)
+    return rh.T, rl.T, ih.T, il.T
+
+
+def _split_bm(plan, r, sub, planes, transform):
+    """Radix-r DIT split over (n, B) planes: reshape → batched fused sub →
+    one fused Pallas combine (:mod:`fourier_tpu.ops.pallas.dd_combine`).
+
+    The class de-interleave is free here: (n, B) row i*r + t IS
+    (m, r*B) lane t*B + b under a pure reshape, which is the batched
+    sub-call's native input AND the combine kernel's class-block layout —
+    zero data movement end-to-end.
+    """
+    from fourier_tpu.ops.pallas.dd_combine import dd_split_combine_batch_minor
+
+    transform = Transform(transform)
+    forward = transform.is_forward
+    n = plan.size
+    m = n // r
+    cb, interpret, vmem = _exec_cfg(plan)
+    planes = [jnp.asarray(p) for p in planes]
+    if planes[0].shape[0] != n:
+        raise ValueError(f"leading axis {planes[0].shape[0]} != plan size {n}")
+    b = planes[0].shape[-1]
+    bp = -(-b // cb) * cb
+    if bp != b:
+        planes = [jnp.pad(p, [(0, 0), (0, bp - b)]) for p in planes]
+    sub_in = [p.reshape(m, r * bp) for p in planes]
+    sub_mode = Transform.FFT if forward else Transform.UNSCALED_IFFT
+    souts = _sub_bm(sub, sub_in, sub_mode)
+    tws = plan.tw_fwd if forward else plan.tw_inv
+    tables = (tws,) if r == 2 else tws
+    tables = tuple(
+        tuple(jnp.asarray(t).reshape(m, 1) for t in t4) for t4 in tables
+    )
+    outs = dd_split_combine_batch_minor(
+        *souts, n, r, tables, forward, transform.scale(n),
+        cb=cb, interpret=interpret, vmem_limit_bytes=vmem,
+    )
+    return tuple(o[:, :b] for o in outs)
+
+
+def _apply_dd_via_bm(plan, value, transform):
+    """Batch-major (..., n) DdFftPlan-interface adapter over the bm path."""
+    (rh, rl), (ih, il) = value
+    batch_shape = rh.shape[:-1]
+    b = int(np.prod(batch_shape, initial=1))
+    n = plan.size
+    bm = [jnp.asarray(p).reshape(b, n).T for p in (rh, rl, ih, il)]
+    orh, orl, oih, oil = plan.transform_planar_dd_bm(*bm, transform)
+    back = lambda p: p.T.reshape(*batch_shape, n)
+    return (back(orh), back(orl)), (back(oih), back(oil))

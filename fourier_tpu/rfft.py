@@ -308,7 +308,32 @@ class RfftPlan:
         zi_rev = xp.concatenate([zi[:1], zi[:0:-1]], axis=0)
         return zr_rev, -zi_rev
 
+    def _fused_even_cfg(self):
+        """(cb, interpret, vmem_limit) when the fused pack kernels apply:
+        a VpuFftPlan inner (its stage tables drive the kernel's FFT stages,
+        the Hermitian pack/unpack rides as an in-VMEM epilogue/prologue)."""
+        inner = self.inner
+        if not (hasattr(inner, "fwd_tables") and hasattr(inner, "cb")):
+            return None
+        return inner.cb, inner.interpret, inner.vmem_limit_bytes
+
     def _rfft_even_bm(self, x_t):
+        cfg = self._fused_even_cfg()
+        if cfg is not None and not isinstance(x_t, np.ndarray):
+            from fourier_tpu.ops.pallas import stockham_vpu as _sv
+
+            cb, interpret, vmem = cfg
+            b = x_t.shape[-1]
+            bp = -(-b // cb) * cb
+            if bp != b:
+                x_t = jnp.pad(x_t, [(0, 0), (0, bp - b)])
+            w_re, w_im = self._w_tables(jnp)
+            xr, xi = _sv.vpu_rfft_pack_batch_minor(
+                x_t.reshape(self.m, 2, bp), self.m, self.inner.fwd_tables,
+                (w_re.reshape(-1, 1), w_im.reshape(-1, 1)),
+                cb=cb, interpret=interpret, vmem_limit_bytes=vmem,
+            )
+            return xr[:, :b], xi[:, :b]
         xp = _xp(x_t)
         w_re, w_im = self._w_tables(xp)
         w_re, w_im = w_re[:, None], w_im[:, None]
@@ -331,6 +356,24 @@ class RfftPlan:
         )
 
     def _irfft_even_bm(self, re_t, im_t):
+        cfg = self._fused_even_cfg()
+        if cfg is not None and not isinstance(re_t, np.ndarray):
+            from fourier_tpu.ops.pallas import stockham_vpu as _sv
+
+            cb, interpret, vmem = cfg
+            b = re_t.shape[-1]
+            bp = -(-b // cb) * cb
+            if bp != b:
+                pad = [(0, 0), (0, bp - b)]
+                re_t = jnp.pad(re_t, pad)
+                im_t = jnp.pad(im_t, pad)
+            w_re, w_im = self._w_tables(jnp)
+            out = _sv.vpu_irfft_unpack_batch_minor(
+                re_t, im_t, self.m, self.inner.inv_tables,
+                (w_re.reshape(-1, 1), w_im.reshape(-1, 1)),
+                cb=cb, interpret=interpret, vmem_limit_bytes=vmem,
+            )
+            return out.reshape(self.n, bp)[:, :b]
         xp = _xp(re_t)
         w_re, w_im = self._w_tables(xp)
         w_re, w_im = w_re[:, None], w_im[:, None]

@@ -167,7 +167,13 @@ def bench_fourier_tpu_dd(n: int, batch: int, forward: bool) -> float:
     plan = ft.create_fft(n, np.complex128)
     mode = Transform.SQRT_SCALED_FFT if forward else Transform.SQRT_SCALED_IFFT
 
-    if hasattr(plan, "_apply_dd"):
+    batch_minor = hasattr(plan, "transform_planar_dd_bm")
+    if batch_minor:
+        # Transpose-free chain, same treatment as the c64 rows: the carry
+        # stays in the kernels' native (n, B) layout across the whole scan.
+        apply_fn = lambda *p: plan.transform_planar_dd_bm(*p, mode)
+        unpack = lambda v: v
+    elif hasattr(plan, "_apply_dd"):
         apply_fn = lambda *p: plan._apply_dd(((p[0], p[1]), (p[2], p[3])), mode)
         unpack = lambda v: (v[0][0], v[0][1], v[1][0], v[1][1])
     else:  # native-f64 host path (x64 CPU): planes are (re, im, 0, 0)
@@ -186,7 +192,8 @@ def bench_fourier_tpu_dd(n: int, batch: int, forward: bool) -> float:
         return carry
 
     rng = np.random.default_rng(0)
-    x = rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))
+    shape = (n, batch) if batch_minor else (batch, n)
+    x = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
     if unpack is not None:
         from fourier_tpu.precision import ddreal as dd
 
