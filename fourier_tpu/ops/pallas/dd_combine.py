@@ -115,7 +115,7 @@ def dd_split_combine_batch_minor(
     const_specs = []
     const_args = []
     for t4 in tables:
-        shp = np.asarray(t4[0]).shape
+        shp = tuple(t4[0].shape)  # works for numpy arrays AND tracers
         const_specs += [
             pl.BlockSpec(shp, lambda i: (0, 0), memory_space=_VMEM)
         ] * 4

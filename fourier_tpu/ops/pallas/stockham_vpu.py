@@ -526,9 +526,11 @@ def _rfft_pack_kernel(m, schedule, *refs):
     ntw = len(schedule) - 1
     tw_refs = refs[:2 * ntw]
     wre_ref, wim_ref, x_ref, or_ref, oi_ref = refs[2 * ntw:]
-    x = x_ref[...]  # (m, 2, CB): [:, 0] = x_even, [:, 1] = x_odd
-    re = x[:, 0, :]
-    im = x[:, 1, :]
+    x = x_ref[...]  # (2m, CB) signal rows; de-interleave is a VMEM reshape
+    cbw = x.shape[-1]
+    v = x.reshape(m, 2, cbw)
+    re = v[:, 0, :]  # x_even
+    im = v[:, 1, :]  # x_odd
     tws = [(tw_refs[2 * s][...], tw_refs[2 * s + 1][...]) for s in range(ntw)]
     zr, zi = _stages_value(re, im, m, tuple(schedule), tws, True)
     # conj-mirror c[k] = conj(z[(m-k) mod m]): full reverse + roll-down-1.
@@ -550,9 +552,9 @@ def _rfft_pack_kernel(m, schedule, *refs):
 
 
 def _irfft_unpack_kernel(m, schedule, *refs):
-    """Fused even-n irfft: Hermitian unpack + IFFT_m, emitting (m, 2, CB)
-    even/odd rows (``rfft.py:333-354`` math; 1/m folded into the unpack's
-    0.5 constants so the inverse stages run unscaled)."""
+    """Fused even-n irfft: Hermitian unpack + IFFT_m, emitting (2m, CB)
+    interleaved signal rows (``rfft.py:333-354`` math; 1/m folded into the
+    unpack's 0.5 constants so the inverse stages run unscaled)."""
     ntw = len(schedule) - 1
     tw_refs = refs[:2 * ntw]
     wre_ref, wim_ref, xr_ref, xi_ref, out_ref = refs[2 * ntw:]
@@ -577,8 +579,10 @@ def _irfft_unpack_kernel(m, schedule, *refs):
     zi = ei + o_r
     tws = [(tw_refs[2 * s][...], tw_refs[2 * s + 1][...]) for s in range(ntw)]
     zr, zi = _stages_value(zr, zi, m, tuple(schedule), tws, False)
-    out_ref[:, 0, :] = zr
-    out_ref[:, 1, :] = zi
+    cbw = zr.shape[-1]
+    out_ref[...] = jnp.concatenate(
+        [zr.reshape(m, 1, cbw), zi.reshape(m, 1, cbw)], axis=1
+    ).reshape(2 * m, cbw)
 
 
 def vpu_rfft_pack_batch_minor(
@@ -591,8 +595,10 @@ def vpu_rfft_pack_batch_minor(
     interpret: bool = False,
     vmem_limit_bytes: Optional[int] = None,
 ):
-    """Even-n rfft: (m, 2, B) de-interleaved real input (a pure reshape of
-    the (n, B) signal) -> one-sided (m+1, B) spectrum planes.
+    """Even-n rfft: (2m, B) real signal rows -> one-sided (m+1, B) spectrum
+    planes. The even/odd de-interleave happens inside the kernel as a VMEM
+    reshape — a 3-D (m, 2, B) input block would put 2 rows in an 8-sublane
+    tile and cost 4x the input DMA.
 
     `tables`: forward stage tables for m; `w`: planar (m, 1) half-spectrum
     twiddles exp(-2*pi*i*k/n). B % cb == 0 (callers pad).
@@ -600,9 +606,9 @@ def vpu_rfft_pack_batch_minor(
     schedule = radix_schedule(m)
     assert schedule is not None, m
     b = x3.shape[-1]
-    assert x3.shape[:2] == (m, 2) and b % cb == 0, (x3.shape, cb)
+    assert x3.shape[0] == 2 * m and b % cb == 0, (x3.shape, m, cb)
     grid = (b // cb,)
-    in_spec = pl.BlockSpec((m, 2, cb), lambda i: (0, 0, i), memory_space=_VMEM)
+    in_spec = pl.BlockSpec((2 * m, cb), lambda i: (0, i), memory_space=_VMEM)
     out_spec = pl.BlockSpec((m + 1, cb), lambda i: (0, i), memory_space=_VMEM)
     w_spec = pl.BlockSpec((m, 1), lambda i: (0, 0), memory_space=_VMEM)
     const_specs = []
@@ -646,8 +652,9 @@ def vpu_irfft_unpack_batch_minor(
     interpret: bool = False,
     vmem_limit_bytes: Optional[int] = None,
 ):
-    """Even-n irfft: one-sided (m+1, B) spectrum planes -> (m, 2, B)
-    even/odd real rows (reshape to (n, B) is free).
+    """Even-n irfft: one-sided (m+1, B) spectrum planes -> (2m, B)
+    interleaved signal rows. The even/odd re-interleave happens inside the
+    kernel as a VMEM reshape (same 4x-DMA rationale as the forward pack).
 
     `tables`: INVERSE stage tables for m; `w`: planar (m, 1)
     exp(-2*pi*i*k/n) (the kernel conjugates). B % cb == 0.
@@ -658,7 +665,7 @@ def vpu_irfft_unpack_batch_minor(
     assert xr.shape[0] == m + 1 and b % cb == 0, (xr.shape, m, cb)
     grid = (b // cb,)
     in_spec = pl.BlockSpec((m + 1, cb), lambda i: (0, i), memory_space=_VMEM)
-    out_spec = pl.BlockSpec((m, 2, cb), lambda i: (0, 0, i), memory_space=_VMEM)
+    out_spec = pl.BlockSpec((2 * m, cb), lambda i: (0, i), memory_space=_VMEM)
     w_spec = pl.BlockSpec((m, 1), lambda i: (0, 0), memory_space=_VMEM)
     const_specs = []
     const_args = []
@@ -668,7 +675,7 @@ def vpu_irfft_unpack_batch_minor(
             pl.BlockSpec(shp, lambda i: (0, 0), memory_space=_VMEM)
         ] * 2
         const_args += [jnp.asarray(tre), jnp.asarray(tim)]
-    out_shape = [jax.ShapeDtypeStruct((m, 2, b), jnp.float32)]
+    out_shape = [jax.ShapeDtypeStruct((2 * m, b), jnp.float32)]
     kern = functools.partial(_irfft_unpack_kernel, m, tuple(schedule))
     flops = int((5 * m * np.log2(m) + 16 * m) * b)
     kw = {}

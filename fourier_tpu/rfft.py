@@ -329,7 +329,7 @@ class RfftPlan:
                 x_t = jnp.pad(x_t, [(0, 0), (0, bp - b)])
             w_re, w_im = self._w_tables(jnp)
             xr, xi = _sv.vpu_rfft_pack_batch_minor(
-                x_t.reshape(self.m, 2, bp), self.m, self.inner.fwd_tables,
+                x_t, self.m, self.inner.fwd_tables,
                 (w_re.reshape(-1, 1), w_im.reshape(-1, 1)),
                 cb=cb, interpret=interpret, vmem_limit_bytes=vmem,
             )
@@ -373,7 +373,7 @@ class RfftPlan:
                 (w_re.reshape(-1, 1), w_im.reshape(-1, 1)),
                 cb=cb, interpret=interpret, vmem_limit_bytes=vmem,
             )
-            return out.reshape(self.n, bp)[:, :b]
+            return out[:, :b]
         xp = _xp(re_t)
         w_re, w_im = self._w_tables(xp)
         w_re, w_im = w_re[:, None], w_im[:, None]
@@ -804,15 +804,71 @@ def _execute_irfft(plan, re, im):
     return plan._irfft_even(re, im) if plan.even else plan._irfft_odd(re, im)
 
 
+# The batch-minor even path runs fused Pallas pack/unpack kernels, which have
+# no AD rules — but rfft/irfft are LINEAR over the planar reals, so (same
+# rationale as plan/base.py:_execute_linear) each one's VJP is the other with
+# a diagonal bin weight. With d_k = 2 - delta_k (delta at DC, and Nyquist for
+# even n — the bins the one-sided form does not double):
+#
+#   J_rfft^T  ct = n * irfft(ct / d)       (maps spectrum planes -> real g)
+#   J_irfft^T g  = (d / n) * rfft(g)       (maps real g -> spectrum planes)
+
+
+def _bin_weights(plan, dtype):
+    """(L, 1) column of d_k = 2 - delta_k for this plan's one-sided bins."""
+    d = np.full((plan.out_len, 1), 2.0)
+    d[0] = 1.0
+    if plan.even:
+        d[-1] = 1.0
+    return jnp.asarray(d, dtype)
+
+
+@jax.custom_vjp
+def _rfft_bm_linear(plan, x_t):
+    return plan._rfft_even_bm(x_t) if plan.even else plan._rfft_odd_bm(x_t)
+
+
+def _rfft_bm_linear_fwd(plan, x_t):
+    return _rfft_bm_linear(plan, x_t), plan
+
+
+def _rfft_bm_linear_bwd(plan, ct):
+    ctr, cti = ct
+    s = jnp.asarray(plan.n, ctr.dtype) / _bin_weights(plan, ctr.dtype)
+    g = _irfft_bm_linear(plan, ctr * s, cti * s)
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, plan)
+    return zeros, g
+
+
+@jax.custom_vjp
+def _irfft_bm_linear(plan, re_t, im_t):
+    fn = plan._irfft_even_bm if plan.even else plan._irfft_odd_bm
+    return fn(re_t, im_t)
+
+
+def _irfft_bm_linear_fwd(plan, re_t, im_t):
+    return _irfft_bm_linear(plan, re_t, im_t), plan
+
+
+def _irfft_bm_linear_bwd(plan, g):
+    ctr, cti = _rfft_bm_linear(plan, g)
+    s = _bin_weights(plan, ctr.dtype) / jnp.asarray(plan.n, ctr.dtype)
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, plan)
+    return zeros, ctr * s, cti * s
+
+
+_rfft_bm_linear.defvjp(_rfft_bm_linear_fwd, _rfft_bm_linear_bwd)
+_irfft_bm_linear.defvjp(_irfft_bm_linear_fwd, _irfft_bm_linear_bwd)
+
+
 @jax.jit
 def _execute_rfft_bm(plan, x_t):
-    return plan._rfft_even_bm(x_t) if plan.even else plan._rfft_odd_bm(x_t)
+    return _rfft_bm_linear(plan, x_t)
 
 
 @jax.jit
 def _execute_irfft_bm(plan, re_t, im_t):
-    fn = plan._irfft_even_bm if plan.even else plan._irfft_odd_bm
-    return fn(re_t, im_t)
+    return _irfft_bm_linear(plan, re_t, im_t)
 
 
 @jax.jit

@@ -177,3 +177,51 @@ def test_rfft_grad_with_fused_inner():
                                atol=1e-3)
     np.testing.assert_allclose(np.asarray(gi[1]), np.asarray(goi[1]),
                                atol=1e-3)
+
+
+def test_rfft_bm_grad_through_fused_pack_kernels():
+    """Batch-minor rfft/irfft gradients when the even path runs the fused
+    Pallas pack/unpack kernels (no AD rules): the linearity-based VJP
+    (rfft.py:_rfft_bm_linear) must match the pure-XLA oracle.
+
+    Transpose identities under test: J_rfft^T ct = n*irfft(ct/d) and
+    J_irfft^T g = (d/n)*rfft(g), d_k = 2 - delta_{k in {0, Nyquist}}.
+    """
+    from fourier_tpu.plan.vpu import VpuFftPlan
+    from fourier_tpu.rfft import RfftPlan
+
+    n, B = 256, 8
+    fused = RfftPlan(n, np.complex64)
+    fused.inner = VpuFftPlan.create(n // 2, interpret=True)
+    assert fused._fused_even_cfg() is not None
+    oracle = RfftPlan(n, np.complex64, backend="stockham")
+    x = jnp.asarray(RNG.standard_normal((n, B)).astype(np.float32))
+    L = n // 2 + 1
+    ctr = jnp.asarray(RNG.standard_normal((L, B)).astype(np.float32))
+    cti = jnp.asarray(RNG.standard_normal((L, B)).astype(np.float32))
+
+    def loss(plan):
+        def f(v):
+            sr, si = plan.rfft_planar_bm(v)
+            return jnp.sum(sr * ctr + si * cti)
+
+        return f
+
+    gf = jax.grad(loss(fused))(x)
+    go = jax.grad(loss(oracle))(x)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(go),
+                               atol=2e-3, rtol=2e-3)
+
+    gt = jnp.asarray(RNG.standard_normal((n, B)).astype(np.float32))
+    gi = jax.grad(
+        lambda r, i: jnp.sum(fused.irfft_planar_bm(r, i) * gt),
+        argnums=(0, 1),
+    )(ctr, cti)
+    goi = jax.grad(
+        lambda r, i: jnp.sum(oracle.irfft_planar_bm(r, i) * gt),
+        argnums=(0, 1),
+    )(ctr, cti)
+    np.testing.assert_allclose(np.asarray(gi[0]), np.asarray(goi[0]),
+                               atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(gi[1]), np.asarray(goi[1]),
+                               atol=2e-3, rtol=2e-3)

@@ -165,3 +165,34 @@ def test_serialize_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(loaded.tw_fwd[0]), np.asarray(plan.tw_fwd[0])
     )
+
+
+def test_bm_entry_under_jit():
+    """transform_planar_dd_bm must be traceable with the PLAN as a jit
+    argument: plans are registered pytrees, so the twiddle tables arrive
+    as tracers (regression: the combine wrapper read a table's shape via
+    np.asarray, which throws TracerArrayConversionError — exactly the
+    regime the bench suite's scanned step runs in)."""
+    import jax
+
+    n, r = 24, 3
+    plan = DdSplitRadixPlan(
+        n, r, DdFftPlan(n // r), *_radix_twiddle_tables(n, r)
+    )
+    rng = np.random.default_rng(RNG_SEED + n)
+    x = rng.standard_normal((n, 2)) + 1j * rng.standard_normal((n, 2))
+    rh, rl = dd.from_f64(x.real)
+    ih, il = dd.from_f64(x.imag)
+    planes = tuple(jnp.asarray(p) for p in (rh, rl, ih, il))
+
+    @jax.jit
+    def step(p, a, b, c, d):
+        return p.transform_planar_dd_bm(a, b, c, d, Transform.FFT)
+
+    orh, orl, oih, oil = step(plan, *planes)
+    got = (
+        np.asarray(orh, np.float64) + np.asarray(orl, np.float64)
+    ) + 1j * (np.asarray(oih, np.float64) + np.asarray(oil, np.float64))
+    want = np.fft.fft(x, axis=0)
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < GATE, f"rel-L2={rel:.2e}"
