@@ -55,8 +55,8 @@ from fourier_tpu.ops.butterflies import apply_butterfly
 from fourier_tpu.ops.pallas.stockham_vpu_dd import _DdOps
 
 
-def _combine_kernel(m, r, forward, scale, barrier, *refs):
-    """Twiddle + radix-r dd butterfly over r class blocks of (m, CB)."""
+def _combine_kernel(r, forward, scale, barrier, *refs):
+    """Twiddle + radix-r dd butterfly over r class blocks of (MB, CB)."""
     ops = _DdOps(barrier)
     ntw = 4 * (r - 1)
     tw_refs = refs[:ntw]
@@ -66,7 +66,7 @@ def _combine_kernel(m, r, forward, scale, barrier, *refs):
     for t in range(r):
         p4 = [in_refs[4 * t + j][...] for j in range(4)]
         parts.append(((p4[0], p4[1]), (p4[2], p4[3])))
-    # Twiddle classes 1..r-1; the mode scale rides the (m, 1) tables and the
+    # Twiddle classes 1..r-1; the mode scale rides the (MB, 1) tables and the
     # untwiddled class 0 (1/r of the data), not all r output sections.
     for t in range(1, r):
         t4 = [tw_refs[4 * (t - 1) + j][...] for j in range(4)]
@@ -78,11 +78,25 @@ def _combine_kernel(m, r, forward, scale, barrier, *refs):
     if scale is not None:
         parts[0] = ops.scale(parts[0], scale)
     outs = apply_butterfly(r, parts, forward, ops=ops)
-    # outs[j] is the contiguous output section X[j*m:(j+1)*m].
+    # outs[j] feeds output section X[j*m:(j+1)*m]: plane j of the (r, m, B)
+    # output view (its reshape to (n, B) IS the natural-order spectrum).
     for j in range(r):
         (rh_, rl_), (ih_, il_) = outs[j]
         for ref, val in zip(out_refs, (rh_, rl_, ih_, il_)):
-            ref[j * m : (j + 1) * m] = val
+            ref[j] = val
+
+
+def _row_block(m: int) -> int:
+    """Largest divisor of m <= 1024: the VMEM working set (r*8 IO blocks,
+    double-buffered across the grid, plus the dd butterfly's temporaries)
+    scales with the row block, and whole-m blocks OOM scoped VMEM from
+    m=4096 up (measured: n=8192 r=2 whole-m = 101.9 MiB vs the 96 MiB
+    default limit once grid > 1 enables double buffering)."""
+    mb = m
+    for f in (2, 3, 5, 7):
+        while mb > 1024 and mb % f == 0:
+            mb //= f
+    return mb
 
 
 def dd_split_combine_batch_minor(
@@ -110,28 +124,31 @@ def dd_split_combine_batch_minor(
     rb = rh.shape[-1]
     b = rb // r
     assert b * r == rb and b % cb == 0, (rb, r, cb)
-    grid = (b // cb,)
+    mb = _row_block(m)
+    grid = (m // mb, b // cb)  # lane blocks innermost: tw blocks re-used
     nlb = b // cb  # lane blocks per class
     const_specs = []
     const_args = []
     for t4 in tables:
-        shp = tuple(t4[0].shape)  # works for numpy arrays AND tracers
         const_specs += [
-            pl.BlockSpec(shp, lambda i: (0, 0), memory_space=_VMEM)
+            pl.BlockSpec((mb, 1), lambda k, i: (k, 0), memory_space=_VMEM)
         ] * 4
         const_args += [jnp.asarray(t) for t in t4]
     in_specs = []
     in_args = []
     for t in range(r):
         spec = pl.BlockSpec(
-            (m, cb), lambda i, t=t: (0, t * nlb + i), memory_space=_VMEM
+            (mb, cb), lambda k, i, t=t: (k, t * nlb + i), memory_space=_VMEM
         )
         in_specs += [spec] * 4
         in_args += [rh, rl, ih, il]
-    out_spec = pl.BlockSpec((n, cb), lambda i: (0, i), memory_space=_VMEM)
-    out_shape = [jax.ShapeDtypeStruct((n, b), jnp.float32)] * 4
+    # (r, m, B) output view: section j = plane j; reshape to (n, B) is free.
+    out_spec = pl.BlockSpec(
+        (r, mb, cb), lambda k, i: (0, k, i), memory_space=_VMEM
+    )
+    out_shape = [jax.ShapeDtypeStruct((r, m, b), jnp.float32)] * 4
     kern = functools.partial(
-        _combine_kernel, m, r, forward, scale, bool(interpret)
+        _combine_kernel, r, forward, scale, bool(interpret)
     )
     # ~1 dd cmul + the radix-r butterfly per point: ~60 hw flops/point/class.
     flops = int(60 * n * b)
@@ -140,7 +157,7 @@ def dd_split_combine_batch_minor(
         kw["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=int(vmem_limit_bytes)
         )
-    return pl.pallas_call(
+    outs = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=const_specs + in_specs,
@@ -152,3 +169,4 @@ def dd_split_combine_batch_minor(
         ),
         **kw,
     )(*const_args, *in_args)
+    return tuple(o.reshape(n, b) for o in outs)

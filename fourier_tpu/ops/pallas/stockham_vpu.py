@@ -501,18 +501,20 @@ def _rev_rows(x, m: int):
     """Full reverse of the leading m (= 2^k) sublane rows.
 
     Mosaic has no ``lax.rev`` lowering (measured: NotImplementedError on this
-    backend); a reverse is the product of per-bit half-swaps — log2(m)
-    slice+concat stages over reshaped views, all ops the TC lowering has.
+    backend). Two-level decomposition: m = a*b, reverse the a outer groups
+    (one a-way concat), then the b rows inside every group (one b-way concat,
+    vectorized over groups) — 2m total row-moves vs m*log2(m) for the
+    per-bit half-swap ladder, and the FFT stages these kernels share a VPU
+    with are themselves only 2-3 two-level passes.
     """
     assert m & (m - 1) == 0, m
     cb = x.shape[-1]
-    blk = 2
-    while blk <= m:
-        h = blk // 2
-        y = x.reshape(m // blk, blk, cb)
-        x = jnp.concatenate([y[:, h:], y[:, :h]], axis=1).reshape(m, cb)
-        blk *= 2
-    return x
+    a = 1 << (int(np.log2(m)) // 2)
+    b = m // a
+    y = x.reshape(a, b, cb)
+    y = jnp.concatenate([y[i:i + 1] for i in range(a - 1, -1, -1)], axis=0)
+    y = jnp.concatenate([y[:, j:j + 1] for j in range(b - 1, -1, -1)], axis=1)
+    return y.reshape(m, cb)
 
 
 def _rfft_pack_kernel(m, schedule, *refs):
