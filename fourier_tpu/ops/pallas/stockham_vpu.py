@@ -718,8 +718,8 @@ def _four_step_row_kernel(p, schedule, forward, *refs):
     pre_re, pre_im, xre_ref, xim_ref, ore_ref, oim_ref = refs[2 * ntw:]
     re = xre_ref[0]  # (p, CB)
     im = xim_ref[0]
-    tr = pre_re[...]  # (p, 1): this k2's split-twiddle column
-    ti = pre_im[...]
+    tr = pre_re[0]  # (p, 1): this k2's split-twiddle column
+    ti = pre_im[0]
     re, im = re * tr - im * ti, re * ti + im * tr
     tws = [(tw_refs[2 * s][...], tw_refs[2 * s + 1][...]) for s in range(ntw)]
     ore_ref[...], oim_ref[...] = _stages_value(
@@ -759,7 +759,17 @@ def vpu_fft_four_step_row(
     out_spec = pl.BlockSpec(
         (p, cb), lambda j, i: (0, j * nlb + i), memory_space=_VMEM
     )
-    pre_spec = pl.BlockSpec((p, 1), lambda j, i: (0, j), memory_space=_VMEM)
+    # A (p, 1) block of a (p, q) array is illegal on real Mosaic (the last
+    # block dim must be 128-divisible or the whole array dim; interpret mode
+    # does not check) — stage the twiddle as (q, p, 1) with (1, p, 1) blocks,
+    # constant across the inner lane-block axis so it is fetched once per k2.
+    pre_spec = pl.BlockSpec(
+        (1, p, 1), lambda j, i: (j, 0, 0), memory_space=_VMEM
+    )
+    pre_tw = (
+        pre_tw[0].T.reshape(q, p, 1),
+        pre_tw[1].T.reshape(q, p, 1),
+    )
     const_specs = []
     const_args = []
     for tre, tim in tables:
@@ -807,6 +817,17 @@ def _bluestein_kernel(n, m_inner, schedule, scale, *refs):
     tables (each ntw = len(schedule)-1 pairs), then xt (2 refs, (n, 1)),
     wt (2 refs, (m_inner, 1)), xt_out (2 refs, (n, 1), includes 1/M).
     """
+    (fwd_tws, inv_tws, chirps), off = _bluestein_tables(schedule, refs)
+    xre_ref, xim_ref, ore_ref, oim_ref = refs[off:]
+    ore_ref[...], oim_ref[...] = _bluestein_value(
+        n, m_inner, schedule, fwd_tws, inv_tws, chirps, scale,
+        xre_ref[...], xim_ref[...]
+    )
+
+
+def _bluestein_tables(schedule, refs):
+    """Unpack the Bluestein kernels' shared leading table refs; returns
+    ((fwd_tws, inv_tws, (xt_r, xt_i, wt_r, wt_i, xo_r, xo_i)), next_off)."""
     ntw = len(schedule) - 1
     fwd_tws = [(refs[2 * s][...], refs[2 * s + 1][...]) for s in range(ntw)]
     off = 2 * ntw
@@ -815,15 +836,14 @@ def _bluestein_kernel(n, m_inner, schedule, scale, *refs):
         for s in range(ntw)
     ]
     off = 4 * ntw
-    xt_r = refs[off][...]
-    xt_i = refs[off + 1][...]
-    wt_r = refs[off + 2][...]
-    wt_i = refs[off + 3][...]
-    xo_r = refs[off + 4][...]
-    xo_i = refs[off + 5][...]
-    xre_ref, xim_ref, ore_ref, oim_ref = refs[off + 6:]
-    re = xre_ref[...]
-    im = xim_ref[...]
+    chirps = tuple(refs[off + j][...] for j in range(6))
+    return (fwd_tws, inv_tws, chirps), off + 6
+
+
+def _bluestein_value(n, m_inner, schedule, fwd_tws, inv_tws, chirps, scale,
+                     re, im):
+    """The whole chirp-z pipeline on (n, CB) planar values, in VMEM."""
+    xt_r, xt_i, wt_r, wt_i, xo_r, xo_i = chirps
     cb = re.shape[-1]
     # chirp multiply + zero-pad to the inner size
     wre = re * xt_r - im * xt_i
@@ -845,8 +865,7 @@ def _bluestein_kernel(n, m_inner, schedule, scale, *refs):
         xo_r = xo_r * sc
         xo_i = xo_i * sc
     hre, him = wre[:n], wim[:n]
-    ore_ref[...] = hre * xo_r - him * xo_i
-    oim_ref[...] = hre * xo_i + him * xo_r
+    return hre * xo_r - him * xo_i, hre * xo_i + him * xo_r
 
 
 def vpu_bluestein_batch_minor(
@@ -916,6 +935,199 @@ def vpu_bluestein_batch_minor(
         **kw,
     )(*const_args, re_t, im_t)
     return ore, oim
+
+
+def _rev_rows_any(x, m: int):
+    """Reverse of the leading m sublane rows for ARBITRARY m: zero-pad to
+    the next power of two, two-level reverse, then drop the pad rows (which
+    land at the front). ~2x the minimal row-moves; still far below the
+    per-bit ladder."""
+    p2 = 1
+    while p2 < m:
+        p2 *= 2
+    if p2 != m:
+        pad = jnp.zeros((p2 - m, x.shape[-1]), x.dtype)
+        x = jnp.concatenate([x, pad], axis=0)
+    return _rev_rows(x, p2)[p2 - m:]
+
+
+def _rfft_odd_pack_kernel(n, m_inner, schedule, *refs):
+    """Odd-n two-for-one rfft: one fused Bluestein c2c of (xa + i*xb) plus
+    the Hermitian separation (``rfft.py:404-429`` math), all in VMEM — the
+    XLA formulation pays the same non-fusing sublane reverse the even path
+    did (measured round 5: ~5.2 ms per application at (512, 65536))."""
+    L = (n + 1) // 2
+    (fwd_tws, inv_tws, chirps), off = _bluestein_tables(schedule, refs)
+    xa_ref, xb_ref, o1r, o1i, o2r, o2i = refs[off:]
+    zr, zi = _bluestein_value(
+        n, m_inner, schedule, fwd_tws, inv_tws, chirps, None,
+        xa_ref[...], xb_ref[...]
+    )
+    # zs[k] = z[(n-k) mod n], k = 0..L-1: row 0 then the tail reversed.
+    zsr = jnp.concatenate([zr[:1], _rev_rows_any(zr[1:], n - 1)], axis=0)[:L]
+    zsi = jnp.concatenate([zi[:1], _rev_rows_any(zi[1:], n - 1)], axis=0)[:L]
+    hr, hi = zr[:L], zi[:L]
+    o1r[...] = 0.5 * (hr + zsr)
+    o1i[...] = 0.5 * (hi - zsi)
+    o2r[...] = 0.5 * (hi + zsi)
+    o2i[...] = -0.5 * (hr - zsr)
+
+
+def _irfft_odd_unpack_kernel(n, m_inner, schedule, *refs):
+    """Odd-n two-for-one irfft: Hermitian recombination of two one-sided
+    spectra (``rfft.py:438-468`` math) + one fused Bluestein inverse, in
+    VMEM. The 1/n inverse scale rides the chirp-out table."""
+    L = (n + 1) // 2
+    (fwd_tws, inv_tws, chirps), off = _bluestein_tables(schedule, refs)
+    x1r_ref, x1i_ref, x2r_ref, x2i_ref, oa_ref, ob_ref = refs[off:]
+    x1r = x1r_ref[...]
+    x2r = x2r_ref[...]
+    zero = jnp.zeros((1, x1r.shape[-1]), jnp.float32)
+    x1i = jnp.concatenate([zero, x1i_ref[1:]], axis=0)  # DC imag is 0
+    x2i = jnp.concatenate([zero, x2i_ref[1:]], axis=0)
+    # Head k = 0..L-1: Z = X1 + i*X2; tail k = L..n-1 (j = n-k = L-1..1):
+    # conj(X1[j]) + i*conj(X2[j]).
+    zr_head = x1r - x2i
+    zi_head = x1i + x2r
+    rev = lambda p: _rev_rows_any(p[1:], L - 1)
+    zr_tail = rev(x1r) + rev(x2i)
+    zi_tail = -rev(x1i) + rev(x2r)
+    zr = jnp.concatenate([zr_head, zr_tail], axis=0)
+    zi = jnp.concatenate([zi_head, zi_tail], axis=0)
+    oa_ref[...], ob_ref[...] = _bluestein_value(
+        n, m_inner, schedule, fwd_tws, inv_tws, chirps,
+        1.0 / n, zr, zi
+    )
+
+
+def _bluestein_const_plumbing(stage_tables, chirp_tables):
+    """(const_specs, const_args) for the Bluestein kernels' table refs."""
+    const_specs = []
+    const_args = []
+    fwd_tables, inv_tables = stage_tables
+    for tbl in (fwd_tables, inv_tables):
+        for tre, tim in tbl:
+            shp = tuple(tre.shape)
+            const_specs += [
+                pl.BlockSpec(shp, lambda i: (0, 0), memory_space=_VMEM)
+            ] * 2
+            const_args += [jnp.asarray(tre), jnp.asarray(tim)]
+    for tre, tim in chirp_tables:
+        shp = tuple(tre.shape)
+        const_specs += [
+            pl.BlockSpec(shp, lambda i: (0, 0), memory_space=_VMEM)
+        ] * 2
+        const_args += [jnp.asarray(tre), jnp.asarray(tim)]
+    return const_specs, const_args
+
+
+def vpu_rfft_odd_pack_batch_minor(
+    x_t,
+    n: int,
+    m_inner: int,
+    stage_tables,
+    chirps_fwd,
+    *,
+    cb: int = 128,
+    interpret: bool = False,
+    vmem_limit_bytes: Optional[int] = None,
+):
+    """Odd-n rfft of (n, B) real rows -> 4 planes (L, B/2), L = (n+1)//2:
+    (x1r, x1i) the spectra of lanes [0, B/2), (x2r, x2i) of [B/2, B).
+    Lane pairing is block t <-> block B/2 + t, read through two lane-offset
+    specs on the same array (no XLA slice materialization). B must be a
+    multiple of 2*cb (callers pad)."""
+    schedule = radix_schedule(m_inner)
+    assert schedule is not None, m_inner
+    assert n % 2 == 1 and x_t.shape[0] == n, (x_t.shape, n)
+    b = x_t.shape[-1]
+    assert b % (2 * cb) == 0, (b, cb)
+    b2 = b // 2
+    nlb = b2 // cb
+    grid = (nlb,)
+    L = (n + 1) // 2
+    in_a = pl.BlockSpec((n, cb), lambda i: (0, i), memory_space=_VMEM)
+    in_b = pl.BlockSpec((n, cb), lambda i: (0, nlb + i), memory_space=_VMEM)
+    out_spec = pl.BlockSpec((L, cb), lambda i: (0, i), memory_space=_VMEM)
+    const_specs, const_args = _bluestein_const_plumbing(
+        stage_tables, chirps_fwd
+    )
+    out_shape = [jax.ShapeDtypeStruct((L, b2), jnp.float32)] * 4
+    kern = functools.partial(
+        _rfft_odd_pack_kernel, n, m_inner, tuple(schedule)
+    )
+    flops = int(2 * 5 * m_inner * np.log2(m_inner) * b2 + 26 * n * b2)
+    kw = {}
+    if vmem_limit_bytes and pltpu is not None and not interpret:
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit_bytes)
+        )
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=const_specs + [in_a, in_b],
+        out_specs=[out_spec] * 4,
+        out_shape=out_shape,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=3 * n * b * 4, transcendentals=0
+        ),
+        **kw,
+    )(*const_args, x_t, x_t)
+
+
+def vpu_irfft_odd_unpack_batch_minor(
+    re_t,
+    im_t,
+    n: int,
+    m_inner: int,
+    stage_tables,
+    chirps_inv,
+    *,
+    cb: int = 128,
+    interpret: bool = False,
+    vmem_limit_bytes: Optional[int] = None,
+):
+    """Odd-n irfft of one-sided (L, B) spectrum planes -> 2 real planes
+    (n, B/2): signals of lanes [0, B/2) and [B/2, B). Same lane pairing and
+    padding contract as the forward pack."""
+    schedule = radix_schedule(m_inner)
+    assert schedule is not None, m_inner
+    L = (n + 1) // 2
+    assert n % 2 == 1 and re_t.shape[0] == L, (re_t.shape, n)
+    b = re_t.shape[-1]
+    assert b % (2 * cb) == 0, (b, cb)
+    b2 = b // 2
+    nlb = b2 // cb
+    grid = (nlb,)
+    in_a = pl.BlockSpec((L, cb), lambda i: (0, i), memory_space=_VMEM)
+    in_b = pl.BlockSpec((L, cb), lambda i: (0, nlb + i), memory_space=_VMEM)
+    out_spec = pl.BlockSpec((n, cb), lambda i: (0, i), memory_space=_VMEM)
+    const_specs, const_args = _bluestein_const_plumbing(
+        stage_tables, chirps_inv
+    )
+    out_shape = [jax.ShapeDtypeStruct((n, b2), jnp.float32)] * 2
+    kern = functools.partial(
+        _irfft_odd_unpack_kernel, n, m_inner, tuple(schedule)
+    )
+    flops = int(2 * 5 * m_inner * np.log2(m_inner) * b2 + 26 * n * b2)
+    kw = {}
+    if vmem_limit_bytes and pltpu is not None and not interpret:
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit_bytes)
+        )
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=const_specs + [in_a, in_a, in_b, in_b],
+        out_specs=[out_spec] * 2,
+        out_shape=out_shape,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=3 * n * b * 4, transcendentals=0
+        ),
+        **kw,
+    )(*const_args, re_t, im_t, re_t, im_t)
 
 
 def vpu_fft_batch_minor(

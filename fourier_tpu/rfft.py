@@ -396,6 +396,15 @@ class RfftPlan:
         out = xp.stack([zr, zi], axis=1)  # (m, 2, B)
         return out.reshape(self.n, zr.shape[-1])
 
+    def _fused_odd_cfg(self):
+        """(cb, interpret, vmem_limit) when the odd-n fused pack kernels
+        apply: a VpuBluesteinPlan inner (the Hermitian two-for-one pack
+        rides the chirp-z pipeline inside one VMEM-resident kernel)."""
+        inner = self.inner
+        if not (hasattr(inner, "m_inner") and hasattr(inner, "chirps_fwd")):
+            return None
+        return inner.cb, inner.interpret, inner.vmem_limit_bytes
+
     def _rfft_odd_single_bm(self, x_t):
         zero = _xp(x_t).zeros_like(x_t)
         fr, fi = self._inner_apply_bm(x_t, zero, Transform.FFT)
@@ -404,6 +413,23 @@ class RfftPlan:
     def _rfft_odd_bm(self, x_t):
         """Odd-n two-for-one forward, lanes paired as contiguous half-slabs."""
         b = x_t.shape[-1]
+        cfg = self._fused_odd_cfg()
+        if cfg is not None and not isinstance(x_t, np.ndarray):
+            from fourier_tpu.ops.pallas import stockham_vpu as _sv
+
+            inner = self.inner
+            cb, interpret, vmem = cfg
+            bp = -(-b // (2 * cb)) * (2 * cb)
+            if bp != b:
+                x_t = jnp.pad(x_t, [(0, 0), (0, bp - b)])
+            x1r, x1i, x2r, x2i = _sv.vpu_rfft_odd_pack_batch_minor(
+                x_t, self.n, inner.m_inner, inner.stage_tables,
+                inner.chirps_fwd,
+                cb=cb, interpret=interpret, vmem_limit_bytes=vmem,
+            )
+            sr = jnp.concatenate([x1r, x2r], axis=-1)
+            si = jnp.concatenate([x1i, x2i], axis=-1)
+            return sr[:, :b], si[:, :b]
         if b < 2:
             return self._rfft_odd_single_bm(x_t)
         L = self.out_len
@@ -438,6 +464,23 @@ class RfftPlan:
     def _irfft_odd_bm(self, re_t, im_t):
         """Odd-n two-for-one inverse, lanes paired as contiguous half-slabs."""
         b = re_t.shape[-1]
+        cfg = self._fused_odd_cfg()
+        if cfg is not None and not isinstance(re_t, np.ndarray):
+            from fourier_tpu.ops.pallas import stockham_vpu as _sv
+
+            inner = self.inner
+            cb, interpret, vmem = cfg
+            bp = -(-b // (2 * cb)) * (2 * cb)
+            if bp != b:
+                pad = [(0, 0), (0, bp - b)]
+                re_t = jnp.pad(re_t, pad)
+                im_t = jnp.pad(im_t, pad)
+            oa, ob = _sv.vpu_irfft_odd_unpack_batch_minor(
+                re_t, im_t, self.n, inner.m_inner, inner.stage_tables,
+                inner.chirps_inv,
+                cb=cb, interpret=interpret, vmem_limit_bytes=vmem,
+            )
+            return jnp.concatenate([oa, ob], axis=-1)[:, :b]
         if b < 2:
             return self._irfft_odd_single_bm(re_t, im_t)
         if isinstance(im_t, np.ndarray):
