@@ -9,6 +9,7 @@ native core against the JAX/oracle paths.
 from __future__ import annotations
 
 import ctypes
+import fcntl
 import os
 import subprocess
 from pathlib import Path
@@ -23,18 +24,34 @@ _lib: Optional[ctypes.CDLL] = None
 
 
 def build_library(force: bool = False) -> Path:
-    """Build the native library with CMake/Ninja; returns the .so path."""
+    """Build the native library with CMake/Ninja; returns the .so path.
+
+    Serialised across processes with an flock: parallel test workers
+    (pytest-xdist) all call this at import time, and a half-finished
+    concurrent build must not make one worker's module-level skip differ
+    from the others' (that skew aborts xdist collection outright).
+    """
     so = _BUILD_DIR / "libfourier_tpu.so"
     if so.exists() and not force:
         return so
-    subprocess.run(
-        ["cmake", "-B", str(_BUILD_DIR), "-G", "Ninja", str(_FFI_DIR)],
-        check=True,
-        capture_output=True,
-    )
-    subprocess.run(
-        ["ninja", "-C", str(_BUILD_DIR)], check=True, capture_output=True
-    )
+    _BUILD_DIR.mkdir(parents=True, exist_ok=True)
+    lockfile = _BUILD_DIR / ".build.lock"
+    with open(lockfile, "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        try:
+            if so.exists() and not force:
+                return so
+            subprocess.run(
+                ["cmake", "-B", str(_BUILD_DIR), "-G", "Ninja", str(_FFI_DIR)],
+                check=True,
+                capture_output=True,
+            )
+            subprocess.run(
+                ["ninja", "-C", str(_BUILD_DIR)], check=True,
+                capture_output=True,
+            )
+        finally:
+            fcntl.flock(lk, fcntl.LOCK_UN)
     return so
 
 
