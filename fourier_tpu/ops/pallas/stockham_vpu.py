@@ -517,7 +517,16 @@ def _rev_rows(x, m: int):
     return y.reshape(m, cb)
 
 
-def _rfft_pack_kernel(m, schedule, *refs):
+#: m at or above which the DMA-addressed even/odd split (``dma_eo``) beats
+#: the in-VMEM interleave kernels. Measured round 5 at the suite batches:
+#: n=4096 (m=2048, B=16384) 864 vs 820 GF for dma_eo, but n=1024 (m=512,
+#: B=65536) 686 vs 764 GF — the XLA-side copies (concat + row-pair reshape,
+#: ~450 GB/s effective) cost more than the small-m kernels' in-VMEM shuffles
+#: and less than the large-m ones'.
+_RFFT_DMA_EO_MIN_M = 2048
+
+
+def _rfft_pack_kernel(m, schedule, dma_eo, *refs):
     """Fused even-n rfft: FFT_m of (x_even + i*x_odd) + Hermitian pack.
 
     The pack (conj-mirror + half-spectrum twiddle, ``rfft.py:311-331``) runs
@@ -527,12 +536,21 @@ def _rfft_pack_kernel(m, schedule, *refs):
     """
     ntw = len(schedule) - 1
     tw_refs = refs[:2 * ntw]
-    wre_ref, wim_ref, x_ref, or_ref, oi_ref = refs[2 * ntw:]
-    x = x_ref[...]  # (2m, CB) signal rows; de-interleave is a VMEM reshape
-    cbw = x.shape[-1]
-    v = x.reshape(m, 2, cbw)
-    re = v[:, 0, :]  # x_even
-    im = v[:, 1, :]  # x_odd
+    if dma_eo:
+        # Even/odd samples arrive as two separate (m, CB) blocks of the
+        # caller's (m, 2B) row-pair view — the de-interleave is pure DMA
+        # addressing, zero in-VMEM shuffles.
+        wre_ref, wim_ref, xe_ref, xo_ref, or_ref, oi_ref = refs[2 * ntw:]
+        re = xe_ref[...]  # x_even
+        im = xo_ref[...]  # x_odd
+    else:
+        # De-interleave in VMEM: stride-2 sublane slices of the (2m, CB)
+        # block. Cheaper than the XLA-side copies below _RFFT_DMA_EO_MIN_M.
+        wre_ref, wim_ref, x_ref, or_ref, oi_ref = refs[2 * ntw:]
+        x = x_ref[...]
+        v = x.reshape(m, 2, x.shape[-1])
+        re = v[:, 0, :]  # x_even
+        im = v[:, 1, :]  # x_odd
     tws = [(tw_refs[2 * s][...], tw_refs[2 * s + 1][...]) for s in range(ntw)]
     zr, zi = _stages_value(re, im, m, tuple(schedule), tws, True)
     # conj-mirror c[k] = conj(z[(m-k) mod m]): full reverse + roll-down-1.
@@ -553,13 +571,17 @@ def _rfft_pack_kernel(m, schedule, *refs):
     oi_ref[m:m + 1] = ei[:1] - o_i[:1]
 
 
-def _irfft_unpack_kernel(m, schedule, *refs):
-    """Fused even-n irfft: Hermitian unpack + IFFT_m, emitting (2m, CB)
-    interleaved signal rows (``rfft.py:333-354`` math; 1/m folded into the
-    unpack's 0.5 constants so the inverse stages run unscaled)."""
+def _irfft_unpack_kernel(m, schedule, dma_eo, *refs):
+    """Fused even-n irfft: Hermitian unpack + IFFT_m (``rfft.py:333-354``
+    math; 1/m folded into the unpack's 0.5 constants so the inverse stages
+    run unscaled). Emits interleaved (2m, CB) signal rows, or aligned
+    x_even/x_odd planes when ``dma_eo`` (see _RFFT_DMA_EO_MIN_M)."""
     ntw = len(schedule) - 1
     tw_refs = refs[:2 * ntw]
-    wre_ref, wim_ref, xr_ref, xi_ref, out_ref = refs[2 * ntw:]
+    if dma_eo:
+        wre_ref, wim_ref, xr_ref, xi_ref, oe_ref, oo_ref = refs[2 * ntw:]
+    else:
+        wre_ref, wim_ref, xr_ref, xi_ref, out_ref = refs[2 * ntw:]
     re = xr_ref[...]  # (m+1, CB) one-sided spectrum planes
     im = xi_ref[...]
     zero = jnp.zeros_like(im[:1])
@@ -581,10 +603,17 @@ def _irfft_unpack_kernel(m, schedule, *refs):
     zi = ei + o_r
     tws = [(tw_refs[2 * s][...], tw_refs[2 * s + 1][...]) for s in range(ntw)]
     zr, zi = _stages_value(zr, zi, m, tuple(schedule), tws, False)
-    cbw = zr.shape[-1]
-    out_ref[...] = jnp.concatenate(
-        [zr.reshape(m, 1, cbw), zi.reshape(m, 1, cbw)], axis=1
-    ).reshape(2 * m, cbw)
+    if dma_eo:
+        # Aligned (m, CB) stores; the caller re-interleaves with one XLA
+        # concat + free row-pair reshape.
+        oe_ref[...] = zr
+        oo_ref[...] = zi
+    else:
+        # Re-interleave in VMEM: (m, 1, CB) stack-reshape to (2m, CB).
+        cbw = zr.shape[-1]
+        out_ref[...] = jnp.concatenate(
+            [zr.reshape(m, 1, cbw), zi.reshape(m, 1, cbw)], axis=1
+        ).reshape(2 * m, cbw)
 
 
 def vpu_rfft_pack_batch_minor(
@@ -596,11 +625,22 @@ def vpu_rfft_pack_batch_minor(
     cb: int = 128,
     interpret: bool = False,
     vmem_limit_bytes: Optional[int] = None,
+    dma_eo: Optional[bool] = None,
 ):
     """Even-n rfft: (2m, B) real signal rows -> one-sided (m+1, B) spectrum
-    planes. The even/odd de-interleave happens inside the kernel as a VMEM
-    reshape — a 3-D (m, 2, B) input block would put 2 rows in an 8-sublane
-    tile and cost 4x the input DMA.
+    planes.
+
+    De-interleave strategy (PROF_r5 rfft_epilogue_variants, measured both
+    ways on-chip): for m >= _RFFT_DMA_EO_MIN_M (override with ``dma_eo``),
+    the row-major view (2m, B) -> (m, 2B) puts x_even in lanes [0, B) and
+    x_odd in lanes [B, 2B) of each row-pair row, so two input BlockSpecs
+    over the SAME view (lane blocks i and B/cb + i) hand the kernel
+    de-interleaved planes as pure DMA addressing — no in-VMEM stride-2
+    sublane shuffles, at the price of the XLA row-pair-view copy (which a
+    chained irfft->rfft pipeline cancels). Below the threshold the shuffles
+    are cheaper than the copy and the split stays in the kernel. A 3-D
+    (m, 2, B) input block is never used: 2 rows per 8-sublane tile = 4x the
+    input DMA.
 
     `tables`: forward stage tables for m; `w`: planar (m, 1) half-spectrum
     twiddles exp(-2*pi*i*k/n). B % cb == 0 (callers pad).
@@ -609,8 +649,21 @@ def vpu_rfft_pack_batch_minor(
     assert schedule is not None, m
     b = x3.shape[-1]
     assert x3.shape[0] == 2 * m and b % cb == 0, (x3.shape, m, cb)
+    if dma_eo is None:
+        dma_eo = m >= _RFFT_DMA_EO_MIN_M
     grid = (b // cb,)
-    in_spec = pl.BlockSpec((2 * m, cb), lambda i: (0, i), memory_space=_VMEM)
+    nb = b // cb
+    if dma_eo:
+        x_args = (x3.reshape(m, 2 * b),) * 2
+        in_specs = [
+            pl.BlockSpec((m, cb), lambda i: (0, i), memory_space=_VMEM),
+            pl.BlockSpec((m, cb), lambda i: (0, i + nb), memory_space=_VMEM),
+        ]
+    else:
+        x_args = (x3,)
+        in_specs = [
+            pl.BlockSpec((2 * m, cb), lambda i: (0, i), memory_space=_VMEM)
+        ]
     out_spec = pl.BlockSpec((m + 1, cb), lambda i: (0, i), memory_space=_VMEM)
     w_spec = pl.BlockSpec((m, 1), lambda i: (0, 0), memory_space=_VMEM)
     const_specs = []
@@ -622,7 +675,7 @@ def vpu_rfft_pack_batch_minor(
         ] * 2
         const_args += [jnp.asarray(tre), jnp.asarray(tim)]
     out_shape = [jax.ShapeDtypeStruct((m + 1, b), jnp.float32)] * 2
-    kern = functools.partial(_rfft_pack_kernel, m, tuple(schedule))
+    kern = functools.partial(_rfft_pack_kernel, m, tuple(schedule), dma_eo)
     flops = int((5 * m * np.log2(m) + 16 * m) * b)
     kw = {}
     if vmem_limit_bytes and pltpu is not None and not interpret:
@@ -632,7 +685,7 @@ def vpu_rfft_pack_batch_minor(
     return pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=const_specs + [w_spec, w_spec, in_spec],
+        in_specs=const_specs + [w_spec, w_spec] + in_specs,
         out_specs=[out_spec, out_spec],
         out_shape=out_shape,
         interpret=interpret,
@@ -640,7 +693,7 @@ def vpu_rfft_pack_batch_minor(
             flops=flops, bytes_accessed=3 * m * b * 4, transcendentals=0
         ),
         **kw,
-    )(*const_args, w[0], w[1], x3)
+    )(*const_args, w[0], w[1], *x_args)
 
 
 def vpu_irfft_unpack_batch_minor(
@@ -653,10 +706,19 @@ def vpu_irfft_unpack_batch_minor(
     cb: int = 128,
     interpret: bool = False,
     vmem_limit_bytes: Optional[int] = None,
+    dma_eo: Optional[bool] = None,
 ):
     """Even-n irfft: one-sided (m+1, B) spectrum planes -> (2m, B)
-    interleaved signal rows. The even/odd re-interleave happens inside the
-    kernel as a VMEM reshape (same 4x-DMA rationale as the forward pack).
+    interleaved signal rows.
+
+    Re-interleave strategy (PROF_r5 rfft_epilogue_variants, measured both
+    ways on-chip): for m >= _RFFT_DMA_EO_MIN_M (override with ``dma_eo``),
+    the kernel stores aligned (m, B) x_even / x_odd planes; one XLA lane
+    concat gives (m, 2B) whose row-major reshape to (2m, B) IS the
+    interleave (row 2j = even, 2j+1 = odd) for free, and a chained
+    rfft->irfft pipeline cancels that reshape against the forward pack's
+    row-pair view. Below the threshold the in-VMEM stack-reshape interleave
+    is cheaper than the XLA concat copy and stays in the kernel.
 
     `tables`: INVERSE stage tables for m; `w`: planar (m, 1)
     exp(-2*pi*i*k/n) (the kernel conjugates). B % cb == 0.
@@ -665,9 +727,20 @@ def vpu_irfft_unpack_batch_minor(
     assert schedule is not None, m
     b = xr.shape[-1]
     assert xr.shape[0] == m + 1 and b % cb == 0, (xr.shape, m, cb)
+    if dma_eo is None:
+        dma_eo = m >= _RFFT_DMA_EO_MIN_M
     grid = (b // cb,)
     in_spec = pl.BlockSpec((m + 1, cb), lambda i: (0, i), memory_space=_VMEM)
-    out_spec = pl.BlockSpec((2 * m, cb), lambda i: (0, i), memory_space=_VMEM)
+    if dma_eo:
+        out_specs = [
+            pl.BlockSpec((m, cb), lambda i: (0, i), memory_space=_VMEM)
+        ] * 2
+        out_shape = [jax.ShapeDtypeStruct((m, b), jnp.float32)] * 2
+    else:
+        out_specs = [
+            pl.BlockSpec((2 * m, cb), lambda i: (0, i), memory_space=_VMEM)
+        ]
+        out_shape = [jax.ShapeDtypeStruct((2 * m, b), jnp.float32)]
     w_spec = pl.BlockSpec((m, 1), lambda i: (0, 0), memory_space=_VMEM)
     const_specs = []
     const_args = []
@@ -677,19 +750,18 @@ def vpu_irfft_unpack_batch_minor(
             pl.BlockSpec(shp, lambda i: (0, 0), memory_space=_VMEM)
         ] * 2
         const_args += [jnp.asarray(tre), jnp.asarray(tim)]
-    out_shape = [jax.ShapeDtypeStruct((2 * m, b), jnp.float32)]
-    kern = functools.partial(_irfft_unpack_kernel, m, tuple(schedule))
+    kern = functools.partial(_irfft_unpack_kernel, m, tuple(schedule), dma_eo)
     flops = int((5 * m * np.log2(m) + 16 * m) * b)
     kw = {}
     if vmem_limit_bytes and pltpu is not None and not interpret:
         kw["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=int(vmem_limit_bytes)
         )
-    (out,) = pl.pallas_call(
+    outs = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=const_specs + [w_spec, w_spec, in_spec, in_spec],
-        out_specs=[out_spec],
+        out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -697,7 +769,10 @@ def vpu_irfft_unpack_batch_minor(
         ),
         **kw,
     )(*const_args, w[0], w[1], xr, xi)
-    return out
+    if dma_eo:
+        even, odd = outs
+        return jnp.concatenate([even, odd], axis=1).reshape(2 * m, b)
+    return outs[0]
 
 
 def _four_step_row_kernel(p, schedule, forward, *refs):

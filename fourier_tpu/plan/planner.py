@@ -165,10 +165,11 @@ def _create_dd(size: int):
         if plan is not None:
             return plan
         # Odd-smooth sizes whose quotient by 3/5 is fused (2187 = 3*729,
-        # 3125 = 5*625): radix-3/5 DIT split — 34.4/31.8 GF at the suite
-        # config (batch 16384/21845, chain 16; BENCH_SUITE_r5.json) vs 29.0
-        # for the best all-fused 3-stage schedule (2187) and 14.4 for the
-        # Bluestein-over-split-8192 route (3125).
+        # 3125 = 5*625): radix-3/5 DIT split with the fused Pallas combine —
+        # 48.7/47.3 GF at the suite config (batch 16384, chain 16;
+        # PROF_r5.json, BENCH_SUITE_r5.json) vs 29.0 for the best all-fused
+        # 3-stage schedule (2187) and 14.4 for the Bluestein-over-split-8192
+        # route (3125).
         plan = DdSplitRadixPlan.create(size)
         if plan is not None:
             return plan

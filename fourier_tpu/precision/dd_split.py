@@ -20,9 +20,12 @@ shared radix-3/5 butterfly over the dd complex vocabulary
 (``ops/butterflies.apply_butterfly(ops=ddcplx)``). Measured round 4: the
 all-fused 3-stage alternatives are worse or impossible (2187 (27,27,3)
 29.0 GF — misaligned interleaves; 3125 (25,25,5) OOMs VMEM on 112 MiB of
-register spills), while the split measures 34.4/31.8 GF at the suite
-config (batch 16384/21845, chain 16, sqrt-scaled) vs 27.9/14.4 for the
-XLA-path rows it replaces — see BENCH_SUITE_r5.json pow3/pow5 c128 rows. All five transform modes are supported: the
+register spills). With round 5's fused Pallas combine
+(``ops/pallas/dd_combine.py`` — the twiddle x dd-mul + radix-r dd butterfly
+was the O(n) XLA tail) the split measures 48.7/47.3 GF at the suite config
+(batch 16384, chain 16, sqrt-scaled) vs 34.4/31.8 for the r4 XLA combine
+and 27.9/14.4 for the XLA-path rows it replaced — see PROF_r5.json
+dd_split_combine_kernel_gflops and BENCH_SUITE_r5.json pow3/pow5 c128 rows. All five transform modes are supported: the
 sub-transforms run unscaled in the matching direction and the mode's scale
 rides the (r-1) twiddle tables and the untwiddled class (1/r of the data).
 

@@ -390,3 +390,36 @@ def test_rfft_bm_jit_chain():
 
     out = np.asarray(step(x))
     np.testing.assert_allclose(out, x, atol=1e-4)
+
+
+@pytest.mark.parametrize("dma_eo", [False, True])
+def test_rfft_fused_kernels_both_eo_strategies(dma_eo):
+    """Both even/odd split strategies of the fused pack kernels agree with
+    numpy: in-VMEM shuffles (small m) and DMA-addressed row-pair-view blocks
+    (m >= _RFFT_DMA_EO_MIN_M in production, forced here via ``dma_eo``)."""
+    import jax.numpy as jnp
+
+    from fourier_tpu.ops.pallas import stockham_vpu as sv
+
+    m, b = 64, 256
+    n = 2 * m
+    rng = np.random.default_rng(RNG_SEED)
+    x = rng.standard_normal((n, b)).astype(np.float32)
+    fwd = sv.make_stage_tables(m, True)
+    inv = sv.make_stage_tables(m, False)
+    k = np.arange(m)
+    wc = np.exp(-2j * np.pi * k / n)
+    w = (
+        jnp.asarray(wc.real.astype(np.float32)).reshape(m, 1),
+        jnp.asarray(wc.imag.astype(np.float32)).reshape(m, 1),
+    )
+    xr, xi = sv.vpu_rfft_pack_batch_minor(
+        jnp.asarray(x), m, fwd, w, interpret=True, dma_eo=dma_eo
+    )
+    got = np.asarray(xr) + 1j * np.asarray(xi)
+    want = np.fft.rfft(x, axis=0)
+    assert np.linalg.norm(got - want) < 1e-5 * np.linalg.norm(want)
+    back = sv.vpu_irfft_unpack_batch_minor(
+        xr, xi, m, inv, w, interpret=True, dma_eo=dma_eo
+    )
+    np.testing.assert_allclose(np.asarray(back), x, atol=1e-4)
